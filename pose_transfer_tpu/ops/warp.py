@@ -35,6 +35,41 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def _resize_matrix(n_out: int, n_in: int) -> np.ndarray:
+    """(n_out, n_in) bilinear interpolation matrix, cv2 INTER_LINEAR
+    semantics: half-pixel centers, clamped borders, no antialiasing.
+
+    Built with numpy at trace time, so the resize itself is one MXU matmul
+    per axis instead of a gather.
+    """
+    u = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+    u0 = np.floor(u).astype(np.int64)
+    frac = u - u0
+    lo = np.clip(u0, 0, n_in - 1)
+    hi = np.clip(u0 + 1, 0, n_in - 1)
+    mat = np.zeros((n_out, n_in), np.float32)
+    mat[np.arange(n_out), lo] += 1.0 - frac
+    mat[np.arange(n_out), hi] += frac
+    return mat
+
+
+def resize_bilinear(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """Resize the trailing-2 spatial dims (..., H, W) → (..., h, w).
+
+    Matches cv2.resize(..., INTER_LINEAR) — the reference's mask resize
+    (pose_transform.py:82-85) — as two static-matrix contractions.
+    """
+    h_in, w_in = x.shape[-2], x.shape[-1]
+    h_out, w_out = out_hw
+    if (h_in, w_in) == (h_out, w_out):
+        return x
+    ry = jnp.asarray(_resize_matrix(h_out, h_in), x.dtype)
+    rx = jnp.asarray(_resize_matrix(w_out, w_in), x.dtype)
+    x = jnp.einsum("ah,...hw->...aw", ry, x)
+    return jnp.einsum("bw,...aw->...ab", rx, x)
 
 
 def _sample_coords(transform: jax.Array, h: int, w: int,
@@ -129,8 +164,7 @@ def affine_transform_layer(features: jax.Array, warps: jax.Array,
         if masks is None:
             raise ValueError("warp_skip='mask' requires part masks")
         # in-graph replacement for the reference's cv2-on-CPU resize
-        masks_r = jax.image.resize(masks.astype(features.dtype),
-                                   (n, t, h, w), method="bilinear")
+        masks_r = resize_bilinear(masks.astype(features.dtype), (h, w))
     else:
         masks_r = None
 
