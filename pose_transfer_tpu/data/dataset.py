@@ -1,0 +1,239 @@
+"""Pose-transfer pair dataset — host side.
+
+Rebuild of src_deformable/datasets/PoseTransfer_Dataset.py, redesigned around
+the TPU's host→device boundary. The reference's ``__getitem__`` rasterized
+K Gaussian heatmaps and 10 part masks per image on the CPU and shipped
+~(3+2K+10)·H·W floats per sample to the device every step — the real
+training bottleneck (SURVEY.md §2.6). Here ``__getitem__`` returns a
+**compact sample**: uint8 images, (K, 2) keypoints, (T, 8) affine fits and
+(T, 4, 2) mask polygons; heatmaps and masks are rasterized *in-graph* by
+``data.device.make_batch_preparer``. Host cost per sample drops to image
+decode + a few 4-point least-squares fits, and the PCIe/ICI payload shrinks
+~20×.
+
+``item_reference`` reproduces the reference's exact tensor layout (NCHW
+float32 packed input, full heatmaps/masks) for parity tests.
+
+Reference quirks preserved:
+- the deformable tree reads the ``-interpol`` pair files
+  (PoseTransfer_Dataset.py:30-31); we do too, falling back to the plain pair
+  files when the interpol ones are absent;
+- train/test annotation CSVs are merged into one name-indexed table
+  (PoseTransfer_Dataset.py:40-46);
+- a missing image file silently becomes a black image
+  (PoseTransfer_Dataset.py:142-144);
+- the stacked interpol chain round-trips every pose through heatmap
+  rasterization + argmax decode; we use the closed form
+  (``annotations.project_keypoints``) with identical results;
+- the interpol warp list has ``num_stacks+1`` entries whose first element
+  warps the input pose onto itself; the stacked generator consumes only the
+  first ``num_stacks`` (networks.py:311-325) — layout preserved.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from ..core import transforms_host as th
+from . import annotations as ann
+
+try:
+    import imageio.v2 as _imageio
+except ImportError:  # pragma: no cover
+    import imageio as _imageio
+
+
+class PoseTransferDataset:
+    """Map-style dataset over (from, to) image pairs.
+
+    Args:
+      opt: mapping with the reference's option names (see cli.opts).
+      split: 'train' | 'test' | 'val'.
+    """
+
+    def __init__(self, opt, split: str):
+        if not isinstance(opt, dict):
+            opt = vars(opt)
+        self.split = split
+        self.gen_type = opt["gen_type"]
+        self.num_stacks = opt["num_stacks"]
+        self.pose_dim = opt["pose_dim"]
+        self.image_size = tuple(opt["image_size"])
+        self.use_input_pose = bool(opt["use_input_pose"])
+        self.warp_skip = opt["warp_skip"]
+
+        self.images_dir_train = opt["images_dir_train"]
+        self.images_dir_test = opt["images_dir_test"]
+
+        def read_pairs(which: str) -> pd.DataFrame:
+            interpol = opt[f"pairs_file_{which}_interpol"]
+            plain = opt[f"pairs_file_{which}"]
+            path = interpol if os.path.exists(interpol) else plain
+            return pd.read_csv(path)
+
+        self._pairs_train = read_pairs("train")
+        self._pairs_test = read_pairs("test")
+        self._annotations = ann.merge_annotations(
+            opt["annotations_file_train"], opt["annotations_file_test"])
+
+        self._pairs = self._pairs_train if split == "train" \
+            else self._pairs_test
+
+        print("Statistics for loaded dataset : {}".format(opt["dataset"]))
+        print("Number of images: %s" % len(self._annotations))
+        print("Number of pairs train: %s" % len(self._pairs_train))
+        print("Number of pairs test: %s" % len(self._pairs_test))
+
+    def __len__(self) -> int:
+        return len(self._pairs)
+
+    # ---------------------------------------------------------------- host IO
+
+    def pair(self, index: int):
+        return self._pairs.iloc[index]
+
+    def keypoints(self, name: str) -> np.ndarray:
+        return ann.load_keypoints(self._annotations.loc[name])
+
+    def load_image(self, name: str) -> np.ndarray:
+        """(H, W, 3) uint8; silent black image when the file is missing."""
+        for d in (self.images_dir_train, self.images_dir_test):
+            path = os.path.join(d, name)
+            if os.path.exists(path):
+                img = np.asarray(_imageio.imread(path))
+                if img.ndim == 2:
+                    img = np.stack([img] * 3, axis=-1)
+                return img[..., :3].astype(np.uint8)
+        return np.zeros((*self.image_size, 3), np.uint8)
+
+    # ------------------------------------------------------------ warp fits
+
+    def _warp_fit(self, kp1: np.ndarray, kp2: np.ndarray):
+        """(warps, polys, kinds) for one ordered keypoint pair."""
+        if self.warp_skip == "mask":
+            warps = th.affine_transforms(kp1, kp2, self.pose_dim)
+            polys, kinds = th.pose_mask_polys(kp2, self.image_size,
+                                              self.pose_dim)
+        else:
+            warps = th.estimate_uniform_transform(
+                kp1, kp2, self.pose_dim)[:, :8]
+            polys = np.zeros((1, 4, 2), np.float32)
+            kinds = np.zeros((1,), np.int32)  # kind 0 = all-ones
+        return (warps.astype(np.float32), polys.astype(np.float32),
+                kinds.astype(np.int32))
+
+    def _interpol_chain(self, kp_from: np.ndarray, kp_to: np.ndarray):
+        """Interpolated poses + chained per-stage warps for the stacked arch.
+
+        Matches PoseTransfer_Dataset.py:112-158: poses and warps derive from
+        heatmap-decoded keypoints; warps chain pose i-1 → i over the list
+        [input] + interpolated, yielding num_stacks+1 entries.
+        """
+        s = self.num_stacks
+        kp_from_p = ann.project_keypoints(kp_from, self.image_size)
+        kp_to_p = ann.project_keypoints(kp_to, self.image_size)
+
+        interpol = []
+        for i in range(1, s + 1):
+            kp_i = ann.interpolate_keypoints_host(
+                kp_from_p, kp_to_p, i, s, self.pose_dim)
+            interpol.append(kp_i)
+
+        chain = [kp_from_p] + [ann.project_keypoints(k, self.image_size)
+                               for k in interpol]
+        warps, polys, kinds = [], [], []
+        prev = chain[0]
+        for kp in chain:
+            w, p, k = self._warp_fit(prev, kp)
+            warps.append(w)
+            polys.append(p)
+            kinds.append(k)
+            prev = kp
+        return (np.stack(interpol).astype(np.float32), np.stack(warps),
+                np.stack(polys), np.stack(kinds))
+
+    # ------------------------------------------------------------- samples
+
+    def item_compact(self, index: int) -> dict:
+        """The TPU-fast sample: bytes + keypoints + fits, no rasters."""
+        pair = self.pair(index)
+        kp_from = self.keypoints(pair["from"])
+        kp_to = self.keypoints(pair["to"])
+        out = {
+            "image_from": self.load_image(pair["from"]),
+            "image_to": self.load_image(pair["to"]),
+            "kp_from": kp_from.astype(np.float32),
+            "kp_to": kp_to.astype(np.float32),
+        }
+        if self.gen_type == "baseline":
+            warps, polys, kinds = self._warp_fit(kp_from, kp_to)
+            out.update(warps=warps, mask_polys=polys, mask_kinds=kinds)
+        else:
+            interpol, warps, polys, kinds = self._interpol_chain(
+                kp_from, kp_to)
+            out.update(interpol_kp=interpol, interpol_warps=warps,
+                       interpol_polys=polys, interpol_kinds=kinds)
+        return out
+
+    def __getitem__(self, index: int) -> dict:
+        return self.item_compact(index)
+
+    def item_reference(self, index: int):
+        """The reference's exact ``__getitem__`` tuple, NCHW float32.
+
+        baseline: (input, target, warps, masks);
+        stacked: (input, target, interpol_pose, interpol_warps,
+        interpol_masks). Heatmaps/masks rasterized on host — use only for
+        parity tests and goldens.
+        """
+        from ..core import pose as pose_dev
+        import jax.numpy as jnp
+
+        pair = self.pair(index)
+        kp_from = self.keypoints(pair["from"])
+        kp_to = self.keypoints(pair["to"])
+
+        def heat(kp):
+            hm = np.asarray(pose_dev.cords_to_map(
+                jnp.asarray(kp, jnp.float32), self.image_size))
+            return np.transpose(hm, (2, 0, 1))
+
+        def img(name):
+            x = self.load_image(name).astype(np.float32)
+            return np.transpose((x / 255.0 - 0.5) * 2.0, (2, 0, 1))
+
+        inp_map = heat(kp_from)
+        tg_map = heat(kp_to)
+        parts = [img(pair["from"])]
+        if self.use_input_pose:
+            parts.append(inp_map)
+        parts.append(tg_map)
+        packed = np.concatenate(parts, axis=0).astype(np.float32)
+        target = img(pair["to"])
+
+        if self.gen_type == "baseline":
+            if self.warp_skip == "mask":
+                warps = th.affine_transforms(kp_from, kp_to, self.pose_dim)
+                masks = th.pose_masks(kp_to, self.image_size, self.pose_dim)
+            else:
+                warps = th.estimate_uniform_transform(kp_from, kp_to,
+                                                      self.pose_dim)
+                masks = np.ones(1)
+            return packed, target, warps, masks
+
+        interpol, warp8, polys, kinds = self._interpol_chain(kp_from, kp_to)
+        from ..ops.masks import rasterize_part_masks
+        interpol_map = np.concatenate([heat(k) for k in interpol], axis=0)
+        masks = np.stack([
+            np.asarray(rasterize_part_masks(jnp.asarray(p), jnp.asarray(k),
+                                            self.image_size))
+            for p, k in zip(polys, kinds)])
+        return packed, target, interpol_map, warp8, masks
+
+
+def collate(samples: list[dict]) -> dict:
+    """Stack compact samples into one numpy batch dict."""
+    return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
