@@ -48,8 +48,10 @@ def rasterize_part_masks(polys: jax.Array, kinds: jax.Array,
                          img_size: tuple[int, int]) -> jax.Array:
     """(T, 4, 2) polys + (T,) kinds → (T, H, W) float32 masks.
 
-    Bit-compatible with ``core.transforms_host.pose_masks`` for the same
-    polygon description. vmap-able over a leading batch dim.
+    Matches ``core.transforms_host.pose_masks`` for the same polygon
+    description up to float32-vs-float64 edge-intersection rounding (isolated
+    pixels exactly on a polygon boundary may flip). vmap-able over a leading
+    batch dim.
     """
     h, w = img_size
 

@@ -116,7 +116,9 @@ def bilinear_sample(image: jax.Array, v: jax.Array, u: jax.Array) -> jax.Array:
            + tap(v0, u0 + 1, (1 - fv) * fu)
            + tap(v0 + 1, u0, fv * (1 - fu))
            + tap(v0 + 1, u0 + 1, fv * fu))
-    return out
+    # taps accumulate in f32 (weights are f32); cast back so low-precision
+    # feature dtypes (bfloat16) round-trip the op
+    return out.astype(image.dtype)
 
 
 def warp_feature_single(features: jax.Array, transform: jax.Array,

@@ -1,0 +1,117 @@
+"""Checkpoint save/resume.
+
+Rebuild of the reference's checkpointing (pose_gan.py:201-220 +
+pose_utils.py:45-54): per-net files named ``gen_{epoch:03d}`` /
+``disc_{epoch:03d}`` in a checkpoints dir, latest-by-filename-sort
+discovery, epoch parsed from the name. Improvements over the reference,
+on purpose:
+
+- optimizer state and the step counter are checkpointed too (the reference
+  dropped Adam moments on resume — pose_gan.py:201-214 loads only
+  state_dicts);
+- writes are atomic (tmp file + rename), so a preempted save can't corrupt
+  the latest checkpoint — the failure-recovery story the reference lacked
+  (SURVEY.md §5).
+
+Serialization is flax msgpack; files are ``<key>_{epoch:03d}.msgpack``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+from flax import serialization
+
+
+def get_model_list(dirname: str, key: str, ext: str = "msgpack"):
+    """Latest checkpoint path for ``key``, by filename sort
+    (pose_utils.py:45-54), or None."""
+    if not os.path.exists(dirname):
+        return None
+    models = [os.path.join(dirname, f) for f in os.listdir(dirname)
+              if os.path.isfile(os.path.join(dirname, f))
+              and key in f and ext in f]
+    if not models:
+        return None
+    return sorted(models)[-1]
+
+
+def parse_epoch(path: str) -> int:
+    """Epoch from ``..._{epoch:03d}.<ext>`` (pose_gan.py:206)."""
+    stem = os.path.basename(path).rsplit(".", 1)[0]
+    return int(stem[-3:])
+
+
+def _write_atomic(path: str, data: bytes) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def save(state, save_dir: str, epoch: int) -> None:
+    """Write gen/disc checkpoint pair for ``epoch`` (pose_gan.py:216-220).
+
+    The gen file carries generator params + optimizer state + step + rng;
+    the disc file carries discriminator params + optimizer state.
+    """
+    os.makedirs(save_dir, exist_ok=True)
+    state = jax.device_get(state)
+    gen_blob = serialization.to_bytes({
+        "params": state.gen_params,
+        "opt_state": state.gen_opt_state,
+        "step": state.step,
+        "rng": state.rng,
+    })
+    disc_blob = serialization.to_bytes({
+        "params": state.disc_params,
+        "opt_state": state.disc_opt_state,
+    })
+    _write_atomic(os.path.join(save_dir, f"gen_{epoch:03d}.msgpack"),
+                  gen_blob)
+    _write_atomic(os.path.join(save_dir, f"disc_{epoch:03d}.msgpack"),
+                  disc_blob)
+
+
+def resume(state, save_dir: str):
+    """Load the latest gen/disc pair into ``state``.
+
+    Returns (state, epoch); epoch is 1 when nothing is found — matching the
+    reference's resume contract (pose_gan.py:201-214: training restarts *at*
+    the checkpoint epoch).
+    """
+    gen_path = get_model_list(save_dir, "gen")
+    if gen_path is None:
+        return state, 1
+    with open(gen_path, "rb") as f:
+        gen_tpl = {"params": state.gen_params,
+                   "opt_state": state.gen_opt_state,
+                   "step": state.step, "rng": state.rng}
+        gen_data = serialization.from_bytes(gen_tpl, f.read())
+    epoch = parse_epoch(gen_path)
+    print("Resume gen from epoch %d" % epoch)
+
+    disc_path = get_model_list(save_dir, "disc")
+    if disc_path is None:
+        return state, 1
+    with open(disc_path, "rb") as f:
+        disc_tpl = {"params": state.disc_params,
+                    "opt_state": state.disc_opt_state}
+        disc_data = serialization.from_bytes(disc_tpl, f.read())
+    print("Resume disc from epoch %d" % parse_epoch(disc_path))
+
+    state = state.replace(
+        gen_params=gen_data["params"], gen_opt_state=gen_data["opt_state"],
+        step=gen_data["step"], rng=gen_data["rng"],
+        disc_params=disc_data["params"],
+        disc_opt_state=disc_data["opt_state"])
+    return state, epoch
+
+
+def load_params(path: str, template):
+    """Load a single net's params (e.g. warm-starting the stacked generator
+    from a trained deformable one — pose_gan.py:30-33)."""
+    with open(path, "rb") as f:
+        data = serialization.from_bytes({"params": template}, f.read())
+    return data["params"]

@@ -1,0 +1,202 @@
+"""GAN engine tests: loss parity vs torch, train-step mechanics, checkpoints."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from pose_transfer_tpu.data import synthetic
+from pose_transfer_tpu.train import (
+    GANConfig,
+    checkpoint,
+    create_state,
+    losses,
+    make_eval_step,
+    make_train_step,
+)
+
+IMG = (32, 32)
+
+
+def small_config(**over):
+    base = dict(image_size=IMG, pose_dim=18, batch_size=2, check_mode=True,
+                warp_skip="mask", gen_type="baseline", training_ratio=1,
+                nn_loss_area_size=1)
+    base.update(over)
+    return GANConfig(**base)
+
+
+# ---------------------------------------------------------------- loss parity
+
+
+def _torch_gen_ad_loss(out_dis, gan_w, batch):
+    """The reference's per-sample loop (pose_gan.py:90-98), in torch."""
+    out_dis = torch.as_tensor(out_dis)
+    ad = None
+    for it in range(out_dis.shape[0]):
+        term = -torch.mean(torch.log(out_dis[it, :] + 1e-7))
+        ad = term if ad is None else ad + term
+    return float(ad * gan_w / batch)
+
+
+def _torch_disc_loss(res_dis, gan_w, batch):
+    """pose_gan.py:140-164 loop."""
+    res_dis = torch.as_tensor(res_dis)
+    t_loss, f_loss = None, None
+    for it in range(res_dis.shape[0]):
+        out = res_dis[it, :]
+        if it < batch:
+            term = -torch.mean(torch.log(out + 1e-7))
+            t_loss = term if t_loss is None else t_loss + term
+        else:
+            term = -torch.mean(torch.log(1 - out + 1e-7))
+            f_loss = term if f_loss is None else f_loss + term
+    return (float(t_loss * gan_w / batch), float(f_loss * gan_w / batch))
+
+
+def test_gen_adversarial_loss_matches_torch_loop():
+    rng = np.random.default_rng(0)
+    probs = rng.uniform(0.01, 0.99, (4, 30)).astype(np.float32)
+    got = float(losses.gen_adversarial_loss(jnp.asarray(probs), 1.5, 4))
+    want = _torch_gen_ad_loss(probs, 1.5, 4)
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_disc_adversarial_loss_matches_torch_loop():
+    rng = np.random.default_rng(1)
+    probs = rng.uniform(0.01, 0.99, (8, 30)).astype(np.float32)
+    t, f = losses.disc_adversarial_loss(jnp.asarray(probs[:4]),
+                                        jnp.asarray(probs[4:]), 2.0, 4)
+    want_t, want_f = _torch_disc_loss(probs, 2.0, 4)
+    assert float(t) == pytest.approx(want_t, rel=1e-5)
+    assert float(f) == pytest.approx(want_f, rel=1e-5)
+
+
+def test_l1_matches_torch():
+    rng = np.random.default_rng(2)
+    a = rng.normal(size=(2, 8, 8, 3)).astype(np.float32)
+    b = rng.normal(size=(2, 8, 8, 3)).astype(np.float32)
+    got = float(losses.l1_loss(jnp.asarray(a), jnp.asarray(b)))
+    want = float(torch.nn.L1Loss()(torch.as_tensor(a), torch.as_tensor(b)))
+    assert got == pytest.approx(want, rel=1e-6)
+
+
+# ------------------------------------------------------------- train step
+
+
+def _draws(rng, config, n_batches):
+    batches = [synthetic.synthetic_compact_batch(
+        rng, config.batch_size, config.image_size, config.pose_dim,
+        warp_skip=config.warp_skip, gen_type=config.gen_type,
+        num_stacks=config.num_stacks) for _ in range(n_batches)]
+    return batches
+
+
+def _stack(batches):
+    return {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+
+
+@pytest.mark.parametrize("warp_skip", ["mask", "full"])
+def test_train_step_updates_and_finite(warp_skip):
+    config = small_config(warp_skip=warp_skip, training_ratio=2)
+    state, gen, disc = create_state(config, seed=0)
+    step = jax.jit(make_train_step(config, gen, disc))
+    rng = np.random.default_rng(0)
+    r = config.training_ratio
+    fake = _stack(_draws(rng, config, r))
+    real = _stack(_draws(rng, config, r))
+    gen_batch = _draws(rng, config, 1)[0]
+
+    new_state, metrics, out_gen = step(state, fake, real, gen_batch)
+    assert out_gen.shape == (config.batch_size, *IMG, 3)
+    for v in jax.tree_util.tree_leaves(metrics):
+        assert np.isfinite(np.asarray(v)).all()
+    assert int(new_state.step) == 1
+    # both nets actually moved
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        state.gen_params, new_state.gen_params)
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+    moved_d = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        state.disc_params, new_state.disc_params)
+    assert max(jax.tree_util.tree_leaves(moved_d)) > 0
+
+
+def test_train_step_stacked():
+    config = small_config(gen_type="stacked", num_stacks=2)
+    state, gen, disc = create_state(config, seed=0)
+    step = jax.jit(make_train_step(config, gen, disc))
+    rng = np.random.default_rng(0)
+    fake = _stack(_draws(rng, config, 1))
+    real = _stack(_draws(rng, config, 1))
+    gen_batch = _draws(rng, config, 1)[0]
+    new_state, metrics, out_gen = step(state, fake, real, gen_batch)
+    assert out_gen.shape == (config.batch_size, *IMG, 3)
+    assert np.isfinite(np.asarray(metrics["gen"])).all()
+
+
+def test_content_loss_path():
+    config = small_config(content_loss_layer="block1_conv2")
+    state, gen, disc = create_state(config, seed=0)
+    assert state.vgg_params is not None
+    step = jax.jit(make_train_step(config, gen, disc))
+    rng = np.random.default_rng(0)
+    new_state, metrics, _ = step(
+        state, _stack(_draws(rng, config, 1)), _stack(_draws(rng, config, 1)),
+        _draws(rng, config, 1)[0])
+    assert np.isfinite(np.asarray(metrics["gen"])).all()
+
+
+def test_overfit_single_batch_reduces_l1():
+    """checkMode analog: the generator L1 must fall on a repeated batch."""
+    config = small_config(l1_penalty_weight=100.0, gan_penalty_weight=0.01)
+    state, gen, disc = create_state(config, seed=0)
+    step = jax.jit(make_train_step(config, gen, disc))
+    rng = np.random.default_rng(3)
+    fake = _stack(_draws(rng, config, 1))
+    real = _stack(_draws(rng, config, 1))
+    gen_batch = _draws(rng, config, 1)[0]
+    lls = []
+    for _ in range(60):
+        state, metrics, _ = step(state, fake, real, gen_batch)
+        lls.append(float(metrics["gen"][1]))
+    assert np.mean(lls[-5:]) < np.mean(lls[:5]) * 0.7, lls
+
+
+def test_eval_step():
+    config = small_config()
+    state, gen, disc = create_state(config, seed=0)
+    eval_step = make_eval_step(config, gen)
+    rng = np.random.default_rng(0)
+    out, batch = eval_step(state.gen_params,
+                           _draws(rng, config, 1)[0])
+    assert out.shape == (config.batch_size, *IMG, 3)
+    assert float(jnp.abs(out).max()) <= 1.0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    config = small_config()
+    state, gen, disc = create_state(config, seed=0)
+    step = jax.jit(make_train_step(config, gen, disc))
+    rng = np.random.default_rng(0)
+    state, _, _ = step(state, _stack(_draws(rng, config, 1)),
+                       _stack(_draws(rng, config, 1)),
+                       _draws(rng, config, 1)[0])
+    checkpoint.save(state, str(tmp_path), epoch=7)
+    assert checkpoint.get_model_list(str(tmp_path), "gen").endswith(
+        "gen_007.msgpack")
+
+    fresh, _, _ = create_state(config, seed=1)
+    restored, epoch = checkpoint.resume(fresh, str(tmp_path))
+    assert epoch == 7
+    for a, b in zip(jax.tree_util.tree_leaves(state.gen_params),
+                    jax.tree_util.tree_leaves(restored.gen_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(state.disc_opt_state),
+                    jax.tree_util.tree_leaves(restored.disc_opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # empty dir → epoch 1, state untouched
+    _, epoch = checkpoint.resume(fresh, str(tmp_path / "nothing"))
+    assert epoch == 1
