@@ -1,0 +1,83 @@
+"""Data-parallel scaling over a device mesh.
+
+The reference trains on a single GPU with no distributed support of any kind
+(SURVEY.md §2.9). The TPU-native scale-out (BASELINE.json config 5) is a
+1-D ``jax.sharding.Mesh`` over the ICI slice:
+
+- parameters + optimizer state replicated (``PartitionSpec()``),
+- every batch sharded on its batch axis (``PartitionSpec('data')``),
+- the train step jitted with those shardings — XLA's SPMD partitioner
+  inserts the gradient ``all-reduce`` over ICI automatically; no explicit
+  collectives needed at this model scale (82 M params, conv GAN).
+
+The same code path runs on real multi-chip TPU and on the virtual CPU mesh
+(``--xla_force_host_platform_device_count``) used by tests and the driver's
+``dryrun_multichip``.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..train.engine import GANConfig, make_train_step
+
+
+def make_mesh(num_devices: int | None = None,
+              axis_name: str = "data") -> Mesh:
+    """1-D mesh over the first ``num_devices`` visible devices."""
+    devices = jax.devices()
+    n = num_devices or len(devices)
+    if n > len(devices):
+        raise ValueError(f"requested {n} devices, have {len(devices)}")
+    return Mesh(np.array(devices[:n]), (axis_name,))
+
+
+def replicate_state(state, mesh: Mesh):
+    """Place the full state replicated on every mesh device."""
+    repl = NamedSharding(mesh, P())
+    return jax.device_put(state, repl)
+
+
+def unreplicate_state(state):
+    """Fetch a host copy (replicated arrays read from one shard)."""
+    return jax.device_get(state)
+
+
+def batch_shardings(mesh: Mesh, axis_name: str = "data"):
+    """(disc_batches, gen_batch) shardings: disc draws have a leading
+    ``training_ratio`` axis, so the batch axis is axis 1."""
+    disc = NamedSharding(mesh, P(None, axis_name))
+    gen = NamedSharding(mesh, P(axis_name))
+    return disc, gen
+
+
+def make_parallel_train_step(config: GANConfig, gen, disc, mesh: Mesh,
+                             axis_name: str = "data"):
+    """Jit the fused GAN step with replicated params + batch-sharded data.
+
+    Per-device batch is ``batch_size // mesh size``; the loss scaling uses
+    the global ``config.batch_size``, matching single-device numerics
+    exactly (verified in tests/test_parallel.py).
+    """
+    step = make_train_step(config, gen, disc)
+    repl = NamedSharding(mesh, P())
+    disc_shard, gen_shard = batch_shardings(mesh, axis_name)
+    return jax.jit(
+        step,
+        in_shardings=(repl, disc_shard, disc_shard, gen_shard),
+        out_shardings=(repl, repl, gen_shard),
+    )
+
+
+def make_parallel_eval_step(config: GANConfig, gen, mesh: Mesh,
+                            axis_name: str = "data"):
+    """Batch-sharded inference forward."""
+    from ..train.engine import make_eval_step
+
+    inner = make_eval_step(config, gen)
+    repl = NamedSharding(mesh, P())
+    gen_shard = NamedSharding(mesh, P(axis_name))
+    return jax.jit(inner, in_shardings=(repl, gen_shard),
+                   out_shardings=(gen_shard, gen_shard))
