@@ -1,0 +1,193 @@
+"""Training driver — rebuild of src_deformable/main.py.
+
+Same observable behavior: epoch loop of ``iters_per_epoch`` synthetic
+epochs; per iteration ``training_ratio`` discriminator updates (each
+consuming two independent batches) then one generator update; running-mean
+loss printout + train/test sample grids every ``display_ratio`` iterations;
+checkpoints every ``checkpoint_ratio`` epochs (main.py:70-157).
+
+TPU-native differences (behavior-preserving):
+- the whole disc+gen cadence is ONE jitted step (train.engine), so each
+  iteration is a single device program instead of the reference's
+  per-op dispatch;
+- batches stream through a prefetching loader (data.loader) instead of a
+  synchronous ``DataLoader`` iterator with bare-except resets;
+- with multiple devices (``--num_devices``), the step runs data-parallel
+  over a 1-D mesh (parallel.mesh) — per BASELINE.json config 5.
+
+Run: ``python -m pose_transfer_tpu.cli.main --expID ... --data_Dir ...``
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+from ..data import PoseTransferDataset, sample_stream
+from ..train import GANConfig, checkpoint, create_state, make_eval_step, \
+    make_train_step
+from ..utils import display, display_stacked, save_image
+from .opts import Opts
+
+
+def _stack_batches(batches: list[dict]) -> dict:
+    return {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+
+
+def draw_step_batches(stream, training_ratio: int):
+    """(disc_fake, disc_real, gen_batch) for one train step — the
+    reference's per-iteration draw pattern (main.py:78-107)."""
+    fake = [next(stream) for _ in range(training_ratio)]
+    real = [next(stream) for _ in range(training_ratio)]
+    gen_batch = next(stream)
+    return _stack_batches(fake), _stack_batches(real), gen_batch
+
+
+def main(argv=None):
+    opt = Opts().parse(argv)
+    print("Model options . .")
+    for k, v in sorted(vars(opt).items()):
+        print("  %s: %s" % (str(k), str(v)))
+
+    config = GANConfig.from_opt(opt)
+    if opt.compute_dtype == "bfloat16":
+        import dataclasses
+        import jax.numpy as jnp
+        config = dataclasses.replace(config, compute_dtype=jnp.bfloat16)
+
+    dataset_train = PoseTransferDataset(vars(opt), "train")
+    dataset_test = PoseTransferDataset(vars(opt), "test")
+
+    mesh = None
+    if opt.num_devices != 1:
+        from ..parallel import make_mesh
+        n = opt.num_devices or len(jax.devices())
+        if n > 1 and config.batch_size % n == 0:
+            mesh = make_mesh(n)
+
+    vgg_params = None
+    if config.content_loss_layer != "none" and opt.vgg_weights:
+        from ..models.vgg import load_torch_vgg19_features
+        vgg_params = load_torch_vgg19_features(opt.vgg_weights)
+
+    state, gen, disc = create_state(config, seed=opt.seed,
+                                    vgg_params=vgg_params)
+    if opt.generator_checkpoint:
+        state = state.replace(gen_params=checkpoint.load_params(
+            opt.generator_checkpoint, state.gen_params["params"]))
+    if opt.discriminator_checkpoint:
+        state = state.replace(disc_params=checkpoint.load_params(
+            opt.discriminator_checkpoint, state.disc_params["params"]))
+
+    start_epoch = 1
+    if opt.resume == 1:
+        state, start_epoch = checkpoint.resume(state, opt.checkpoints_dir)
+
+    if mesh is not None:
+        from ..parallel import make_parallel_train_step, replicate_state
+        state = replicate_state(state, mesh)
+        train_step = make_parallel_train_step(config, gen, disc, mesh)
+        data_sharding = None  # host batches; sharded on device_put below
+    else:
+        train_step = jax.jit(make_train_step(config, gen, disc))
+        data_sharding = None
+
+    eval_step = make_eval_step(config, gen)
+
+    stream_train = sample_stream(dataset_train, config.batch_size,
+                                 seed=opt.seed, prefetch=bool(opt.prefetch),
+                                 sharding=data_sharding)
+    stream_test = sample_stream(dataset_test, config.batch_size,
+                                seed=opt.seed + 1,
+                                prefetch=bool(opt.prefetch),
+                                sharding=data_sharding)
+
+    for epoch in range(start_epoch, opt.number_of_epochs + 1):
+        gen_losses, disc_losses = [], []
+        num_iterations = opt.iters_per_epoch
+        print("Num iterations : ", num_iterations)
+        epoch_t0 = time.time()
+
+        for it in range(num_iterations):
+            fake, real, gen_batch = draw_step_batches(
+                stream_train, config.training_ratio)
+            state, metrics, out = train_step(state, fake, real, gen_batch)
+            gen_losses.append(np.asarray(metrics["gen"]))
+            disc_losses.append(np.asarray(metrics["disc"]))
+
+            if it % opt.display_ratio == 0:
+                g_total, g_ll, g_ad = np.mean(np.array(gen_losses), axis=0)
+                d_total, d_true, d_fake = np.mean(np.array(disc_losses),
+                                                  axis=0)
+                total = g_total + d_total
+                elapsed = time.time() - epoch_t0
+                ips = (it + 1) * config.batch_size * \
+                    (2 * config.training_ratio + 1) / max(elapsed, 1e-9)
+                print("Epoch : {8:d} | Progress : {0:.2f} | Total Loss : "
+                      "{1:.4f} | Gen Total Loss : {2:.4f}, Gen Ad Loss : "
+                      "{3:.4f}, Gen LL Loss : {4:.4f}  | Disc Total Loss : "
+                      "{5:.4f}, Disc True Loss : {6:.4f}, Disc Fake Loss : "
+                      "{7:.4f} | img/s : {9:.1f}".format(
+                          it / num_iterations, total, g_total, g_ad, g_ll,
+                          d_total, d_true, d_fake, epoch, ips))
+                sys.stdout.flush()
+
+                _save_samples(opt, config, gen_batch, out, eval_step,
+                              state, stream_test, epoch, it)
+
+        if epoch % opt.checkpoint_ratio == 0:
+            from ..parallel import unreplicate_state
+            to_save = unreplicate_state(state) if mesh is not None else state
+            checkpoint.save(to_save, opt.checkpoints_dir, epoch)
+
+
+def _save_samples(opt, config, gen_batch, out, eval_step, state,
+                  stream_test, epoch, it):
+    """Train + test sample grids (main.py:129-154)."""
+    from ..data.device import make_batch_preparer
+    from ..parallel import unreplicate_state
+
+    prepare = make_batch_preparer(
+        image_size=config.image_size, pose_dim=config.pose_dim,
+        use_input_pose=config.use_input_pose, warp_skip=config.warp_skip,
+        gen_type=config.gen_type, num_stacks=config.num_stacks)
+    gen_params = state.gen_params
+    try:  # replicated under a mesh
+        gen_params = unreplicate_state(state).gen_params
+    except Exception:
+        pass
+
+    title = "epoch_{0}_{1}.png".format(str(epoch).zfill(3), str(it).zfill(5))
+    prepared = prepare({k: np.asarray(v) for k, v in gen_batch.items()})
+    if config.gen_type == "baseline":
+        images = display(prepared["input"], prepared["target"],
+                         np.asarray(out), config.use_input_pose,
+                         config.pose_dim)
+    else:
+        images = display_stacked(
+            prepared["input"], prepared["interpol_pose"], prepared["target"],
+            [np.asarray(out)] * config.num_stacks, config.num_stacks,
+            config.use_input_pose, config.pose_dim)
+    save_image(os.path.join(opt.output_dir, "train", title), images)
+
+    test_batch = next(stream_test)
+    test_batch = {k: np.asarray(v) for k, v in test_batch.items()}
+    out_t, prepared_t = eval_step(gen_params, test_batch)
+    if config.gen_type == "baseline":
+        images = display(prepared_t["input"], prepared_t["target"],
+                         np.asarray(out_t), config.use_input_pose,
+                         config.pose_dim)
+    else:
+        images = display_stacked(
+            prepared_t["input"], prepared_t["interpol_pose"],
+            prepared_t["target"], [np.asarray(out_t)] * config.num_stacks,
+            config.num_stacks, config.use_input_pose, config.pose_dim)
+    save_image(os.path.join(opt.output_dir, "test", title), images)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,150 @@
+"""Flag-compatible configuration — rebuild of src_deformable/opts.py.
+
+Every reference flag is accepted with the same name, default and semantics
+(SURVEY.md §2.1); BASELINE.json requires "matching main.py CLI semantics".
+Additions beyond the reference are listed at the bottom of ``init`` and are
+all optional:
+
+- ``--exp_root`` (default ``../exp`` — the reference hardcoded the relative
+  path, opts.py:80-83);
+- ``--checkMode`` / ``--images_for_train`` from the baseline tree
+  (src_baseline/opts.py:52,58);
+- TPU-specific: ``--compute_dtype``, ``--num_devices``, ``--prefetch``,
+  ``--seed``, ``--vgg_weights``, ``--vgg_preprocess``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+class Opts:
+    def __init__(self):
+        self.parser = argparse.ArgumentParser(
+            description="Pose guided image generation using deformable "
+                        "skip layers — TPU-native rebuild")
+
+    def init(self):
+        p = self.parser
+        p.add_argument("--expID", default="default", help="Experiment ID")
+        p.add_argument("--data_Dir",
+                       default="../../pose-gan-clean/pose-gan-h36m-fg/data/",
+                       help="Directory with annotations and data")
+        p.add_argument("--output_dir", default="output/displayed_samples",
+                       help="Directory with generated sample images")
+        p.add_argument("--batch_size", default=4, type=int)
+        p.add_argument("--log_file", default="output/full/fasion/log")
+        p.add_argument("--training_ratio", default=1, type=int,
+                       help="discriminator updates per generator update")
+        p.add_argument("--resume", default=0, type=int)
+        p.add_argument("--learning_rate", default=2e-4, type=float)
+        p.add_argument("--l1_penalty_weight", default=100, type=float)
+        p.add_argument("--gan_penalty_weight", default=1, type=float)
+        p.add_argument("--tv_penalty_weight", default=0, type=float)
+        p.add_argument("--lstruct_penalty_weight", default=0, type=float)
+        p.add_argument("--number_of_epochs", default=500, type=int)
+        p.add_argument("--content_loss_layer", default="none",
+                       help="vgg19 layer name e.g. block1_conv2, or none")
+        p.add_argument("--pose_dim", default=16, type=int)
+        p.add_argument("--iters_per_epoch", default=1000, type=int)
+        p.add_argument("--checkpoints_dir", default="output/checkpoints")
+        p.add_argument("--checkpoint_ratio", default=5, type=int)
+        p.add_argument("--generator_checkpoint", default=None)
+        p.add_argument("--discriminator_checkpoint", default=None)
+        p.add_argument("--nn_loss_area_size", default=1, type=int)
+        p.add_argument("--dataset", default="h36m",
+                       choices=["market", "fasion", "fasion128",
+                                "fasion128128", "h36m"])
+        p.add_argument("--frame_diff", default=10, type=int)
+        p.add_argument("--num_stacks", default=4, type=int)
+        p.add_argument("--compute_h36m_paf_split", default=0, type=int)
+        p.add_argument("--display_ratio", default=50, type=int)
+        p.add_argument("--start_epoch", default=0, type=int)
+        p.add_argument("--pose_estimator", default="pose_estimator.h5")
+        p.add_argument("--images_for_test", default=12000, type=int)
+        p.add_argument("--use_input_pose", default=True, type=int)
+        p.add_argument("--warp_skip", default="mask",
+                       choices=["none", "full", "mask"])
+        p.add_argument("--warp_agg", default="max", choices=["max", "avg"])
+        p.add_argument("--disc_type", default="call",
+                       choices=["call", "sim", "warp"])
+        p.add_argument("--gen_type", default="baseline",
+                       choices=["baseline", "stacked"])
+        p.add_argument("--generated_images_dir",
+                       default="output/generated_images")
+        p.add_argument("--load_generated_images", default=0, type=int)
+        p.add_argument("--use_dropout_test", default=0, type=int)
+
+        # baseline-tree extras (src_baseline/opts.py:52,58)
+        p.add_argument("--checkMode", default=0, type=int,
+                       help="tiny model + small data for smoke tests")
+        p.add_argument("--images_for_train", default=100000, type=int)
+
+        # TPU-native additions
+        p.add_argument("--exp_root", default="../exp",
+                       help="experiment-dir root (reference hardcoded ../exp)")
+        p.add_argument("--compute_dtype", default="float32",
+                       choices=["float32", "bfloat16"])
+        p.add_argument("--num_devices", default=0, type=int,
+                       help="data-parallel devices (0 = all visible)")
+        p.add_argument("--prefetch", default=1, type=int,
+                       help="device prefetch depth for the input pipeline")
+        p.add_argument("--seed", default=0, type=int)
+        p.add_argument("--vgg_weights", default=None,
+                       help="torch VGG19 state_dict path for content loss")
+        p.add_argument("--vgg_preprocess", default="correct",
+                       choices=["correct", "reference"],
+                       help="reference = reproduce the reshape quirk "
+                            "(pose_utils.py:324-331)")
+
+    def parse(self, args=None):
+        self.init()
+        opt = self.parser.parse_args(args)
+        opt.saveDir = os.path.join(opt.exp_root, opt.expID)
+        opt.output_dir = os.path.join(opt.exp_root, opt.expID, "results")
+        opt.checkpoints_dir = os.path.join(opt.exp_root, opt.expID, "models")
+        opt.generated_images_dir = os.path.join(
+            opt.exp_root, opt.expID, "results", "generated")
+
+        if opt.dataset == "fasion":
+            opt.image_size = (256, 256)
+        elif opt.dataset == "h36m":
+            opt.image_size = (224, 224)
+        elif opt.dataset == "fasion128128":
+            opt.image_size = (128, 128)
+        else:
+            opt.image_size = (128, 64)
+
+        d, ds = opt.data_Dir, opt.dataset
+        opt.images_dir_train = d + ds + "-dataset/train"
+        opt.images_dir_test = d + ds + "-dataset/test"
+        opt.annotations_file_train = d + ds + "-annotation-train.csv"
+        opt.annotations_file_test = d + ds + "-annotation-test.csv"
+        opt.annotations_file_train_paf = (
+            d + ds + "-annotation-paf-train"
+            + str(opt.compute_h36m_paf_split) + ".csv")
+        opt.annotations_file_test_paf = (
+            d + ds + "-annotation-paf-test"
+            + str(opt.compute_h36m_paf_split) + ".csv")
+        opt.pairs_file_train = d + ds + "-pairs-train.csv"
+        opt.pairs_file_test = d + ds + "-pairs-test.csv"
+        opt.pairs_file_train_iterative = d + ds + "-pairs-train-iterative.csv"
+        opt.pairs_file_test_iterative = d + ds + "-pairs-test-iterative.csv"
+        opt.pairs_file_train_interpol = d + ds + "-pairs-train-interpol.csv"
+        opt.pairs_file_test_interpol = d + ds + "-pairs-test-interpol.csv"
+        opt.tmp_pose_dir = "tmp/" + ds + "/"
+
+        os.makedirs(opt.saveDir, exist_ok=True)
+        for sub in ("train", "test"):
+            os.makedirs(os.path.join(opt.output_dir, sub), exist_ok=True)
+        os.makedirs(opt.generated_images_dir, exist_ok=True)
+        os.makedirs(opt.checkpoints_dir, exist_ok=True)
+
+        with open(os.path.join(opt.saveDir, "opt.txt"), "wt") as f:
+            f.write("==> Args:\n")
+            for k, v in sorted(vars(opt).items()):
+                f.write("  %s: %s\n" % (str(k), str(v)))
+            f.write("==> Args:\n")
+        self.opt = opt
+        return opt

@@ -1,0 +1,56 @@
+"""Batch inference driver — rebuild of src_deformable/test.py.
+
+Iterates the test split, runs the generator forward, and writes display
+grids to ``generated_images_dir`` (test.py:25-54). The reference's stacked
+branch crashed on missing arguments (test.py:49); here it works.
+
+Run: ``python -m pose_transfer_tpu.cli.test --expID ... --resume 1``
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..data import PoseTransferDataset
+from ..data.dataset import collate
+from ..train import GANConfig, checkpoint, create_state, make_eval_step
+from ..utils import display, display_stacked, save_image
+from .opts import Opts
+
+
+def main(argv=None):
+    opt = Opts().parse(argv)
+    print("Model options . .")
+    for k, v in sorted(vars(opt).items()):
+        print("  %s: %s" % (str(k), str(v)))
+
+    config = GANConfig.from_opt(opt)
+    dataset = PoseTransferDataset(vars(opt), "test")
+    state, gen, _ = create_state(config, seed=opt.seed)
+    state, epoch = checkpoint.resume(state, opt.checkpoints_dir)
+    print(f"Running inference with epoch-{epoch} weights")
+    eval_step = make_eval_step(config, gen)
+
+    num_batches = len(dataset) // config.batch_size
+    for b in range(num_batches):
+        batch = collate([dataset[b * config.batch_size + i]
+                         for i in range(config.batch_size)])
+        out, prepared = eval_step(state.gen_params, batch)
+        if config.gen_type == "baseline":
+            images = display(prepared["input"], prepared["target"],
+                             np.asarray(out), config.use_input_pose,
+                             config.pose_dim)
+        else:
+            images = display_stacked(
+                prepared["input"], prepared["interpol_pose"],
+                prepared["target"], [np.asarray(out)] * config.num_stacks,
+                config.num_stacks, config.use_input_pose, config.pose_dim)
+        save_image(os.path.join(opt.generated_images_dir,
+                                f"images_batch_{b:05d}.png"), images)
+    print(f"Wrote {num_batches} grids to {opt.generated_images_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,9 @@
+from .visualize import (  # noqa: F401
+    display,
+    display_stacked,
+    draw_pose_from_cords,
+    draw_pose_from_map,
+    make_grid,
+    save_image,
+)
+from .summary import count_params, summarize  # noqa: F401
