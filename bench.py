@@ -1,0 +1,85 @@
+"""Benchmark: fused GAN train-step throughput on the flagship config.
+
+Measures steady-state images/sec/chip for the **full deformable Fashion-256
+training step** (warp_skip=mask, the reference's headline config) — one
+compiled program containing: in-graph heatmap + mask rasterization,
+``training_ratio`` discriminator updates (2 batches each) and one generator
+update. Images/sec counts every image consumed per step
+(``batch · (2·ratio + 1)``), the same accounting a wall-clock-per-epoch
+measurement of the reference would give.
+
+The reference records no throughput numbers anywhere (BASELINE.md), so
+``vs_baseline`` is reported against the previous round's own measurement
+(``BENCH_PREV.json`` if present, else 1.0).
+
+Prints exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from pose_transfer_tpu.data.synthetic import synthetic_compact_batch
+    from pose_transfer_tpu.train.engine import (
+        GANConfig, create_state, make_train_step)
+
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    config = GANConfig(image_size=(256, 256), pose_dim=18, batch_size=batch,
+                       warp_skip="mask", gen_type="baseline",
+                       training_ratio=1, compute_dtype=jnp.bfloat16)
+    state, gen, disc = create_state(config, seed=0)
+    step = jax.jit(make_train_step(config, gen, disc), donate_argnums=(0,))
+
+    rng = np.random.default_rng(0)
+    mk = lambda: synthetic_compact_batch(  # noqa: E731
+        rng, config.batch_size, config.image_size, config.pose_dim,
+        warp_skip=config.warp_skip)
+    fake = jax.device_put({k: v[None] for k, v in mk().items()})
+    real = jax.device_put({k: v[None] for k, v in mk().items()})
+    gen_batch = jax.device_put(mk())
+
+    # warmup / compile (block on the full state: on some platforms blocking
+    # on one output does not force the whole donated-state chain)
+    state, metrics, _ = step(state, fake, real, gen_batch)
+    jax.block_until_ready(state)
+    gen_m = np.asarray(metrics["gen"])
+    assert np.isfinite(gen_m).all(), f"non-finite losses: {gen_m}"
+
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics, _ = step(state, fake, real, gen_batch)
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+
+    images_per_step = config.batch_size * (2 * config.training_ratio + 1)
+    ips = iters * images_per_step / dt
+
+    prev = None
+    if os.path.exists("BENCH_PREV.json"):
+        try:
+            with open("BENCH_PREV.json") as f:
+                prev = json.load(f).get("value")
+        except Exception:
+            prev = None
+    vs = ips / prev if prev else 1.0
+
+    print(json.dumps({
+        "metric": "train_images_per_sec_per_chip_full_deformable_fashion256",
+        "value": round(ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
