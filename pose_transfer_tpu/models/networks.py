@@ -153,6 +153,7 @@ class DeformableGenerator(nn.Module):
     warp_agg: str = "max"
     use_input_pose: bool = True
     num_warp_stages: int = 4       # warp only the first 4 skips
+    warp_backend: str = "matmul"   # 'matmul' (MXU) | 'exact' (gather)
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -179,7 +180,8 @@ class DeformableGenerator(nn.Module):
             if i < self.num_warp_stages:
                 warped = affine_transform_layer(
                     sk_app, warps, masks, self.image_size,
-                    self.warp_skip, self.warp_agg)
+                    self.warp_skip, self.warp_agg,
+                    backend=self.warp_backend)
                 skips.append(jnp.concatenate([warped, sk_pose], axis=-1))
             else:
                 skips.append(jnp.concatenate([sk_app, sk_pose], axis=-1))
@@ -217,6 +219,7 @@ class StackedGenerator(nn.Module):
     warp_skip: str = "mask"
     warp_agg: str = "max"
     use_input_pose: bool = True
+    warp_backend: str = "matmul"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -227,7 +230,8 @@ class StackedGenerator(nn.Module):
         gen = DeformableGenerator(
             self.pose_dim, self.image_size, self.nfilters_enc,
             self.nfilters_dec, self.warp_skip, self.warp_agg,
-            self.use_input_pose, dtype=self.dtype, name="generator")
+            self.use_input_pose, warp_backend=self.warp_backend,
+            dtype=self.dtype, name="generator")
 
         init_img, init_pose, _ = pose_ops.get_imgpose(
             inp, self.use_input_pose, self.pose_dim)
@@ -270,5 +274,7 @@ class Discriminator(nn.Module):
             x = Block(1, bn=False, dtype=self.dtype)(x, train=train)
         else:
             x = Block(1, bn=False, dtype=self.dtype)(x, train=train)
-        x = jax.nn.sigmoid(x)
+        # probabilities in f32: bf16 sigmoid saturates to exactly 0/1 (bf16
+        # resolution near 1 is ~8e-3), which degenerates the log losses
+        x = jax.nn.sigmoid(x.astype(jnp.float32))
         return x.reshape(x.shape[0], -1)

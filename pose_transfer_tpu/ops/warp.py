@@ -133,14 +133,83 @@ def warp_feature_single(features: jax.Array, transform: jax.Array,
     return bilinear_sample(features, v, u)
 
 
+def _line_weights(pos: jax.Array, n_in: int) -> jax.Array:
+    """Bilinear tap weights along one axis as a dense banded matrix.
+
+    Args:
+      pos: (...,) fractional source positions (pixel units).
+      n_in: source extent.
+
+    Returns:
+      (..., n_in) weights: w[j] = max(0, 1 - |pos - j|) for in-range taps,
+      zero outside (zero-padding semantics). Built with a broadcast compare —
+      pure VPU, no gather.
+    """
+    j = jnp.arange(n_in, dtype=jnp.float32)
+    d = jnp.abs(pos[..., None] - j)
+    w = jnp.maximum(0.0, 1.0 - d)
+    # positions below -1 or above n_in contribute nothing automatically;
+    # the ramp already vanishes beyond 1px
+    return w
+
+
+def warp_feature_matmul(features: jax.Array, transform: jax.Array,
+                        init_image_size: tuple[int, int]) -> jax.Array:
+    """Two-pass affine warp as two banded-matrix contractions (MXU path).
+
+    TPU gathers are slow (the direct ``bilinear_sample`` is scalar-bound);
+    the affine warp instead runs as the classic two-pass resample
+    (Catmull-Smith): a vertical pass contracting input rows with per-column
+    bilinear weights, then a horizontal pass contracting columns — both are
+    einsums that XLA tiles onto the MXU.
+
+    Exactness: identical to direct bilinear whenever the transform's
+    ``m10 == 0`` (no vertical shear — scale/translate/horizontal-shear).
+    For ``m10 != 0`` the vertical taps are evaluated at the source column
+    instead of the target column, shifting each tap by at most ``|m10|`` px —
+    the standard two-pass approximation, visually and training-wise
+    equivalent (pinned against the exact path in tests/test_warp.py).
+
+    Args:
+      features: (N, H, W, C).
+      transform: (8,) inverse pixel affine at ``init_image_size``.
+    Returns:
+      (N, H, W, C) warped features.
+    """
+    n, h, w, c = features.shape
+    m00, m01, tx, m10, m11, ty = (transform[0], transform[1], transform[2],
+                                  transform[3], transform[4], transform[5])
+    tx = tx * (w / init_image_size[1])
+    ty = ty * (h / init_image_size[0])
+
+    x_out = jnp.arange(w, dtype=jnp.float32) + 0.5    # (W,)
+    y_out = jnp.arange(h, dtype=jnp.float32) + 0.5    # (H,)
+
+    # pass 1 (vertical): tmp[n, yo, x, c] = Σ_y wy[x, yo, y] · img[n, y, x, c]
+    # v evaluated at the source column x (two-pass approximation)
+    v = m10 * (jnp.arange(w, dtype=jnp.float32) + 0.5)[:, None] \
+        + m11 * y_out[None, :] + ty - 0.5             # (W, H_out)
+    wy = _line_weights(v, h).astype(features.dtype)   # (W, H_out, H_in)
+    tmp = jnp.einsum("xoy,nyxc->noxc", wy, features,
+                     preferred_element_type=jnp.float32)
+
+    # pass 2 (horizontal): out[n, yo, xo, c] = Σ_x wx[yo, xo, x]·tmp[n,yo,x,c]
+    u = m00 * x_out[None, :] + m01 * y_out[:, None] + tx - 0.5  # (H_out, W_out)
+    wx = _line_weights(u, w).astype(features.dtype)   # (H_out, W_out, W_in)
+    out = jnp.einsum("oax,noxc->noac", wx, tmp.astype(features.dtype),
+                     preferred_element_type=jnp.float32)
+    return out.astype(features.dtype)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("init_image_size", "warp_skip",
-                                    "warp_agg"))
+                                    "warp_agg", "backend"))
 def affine_transform_layer(features: jax.Array, warps: jax.Array,
                            masks: jax.Array | None,
                            init_image_size: tuple[int, int],
                            warp_skip: str = "mask",
-                           warp_agg: str = "max") -> jax.Array:
+                           warp_agg: str = "max",
+                           backend: str = "matmul") -> jax.Array:
     """Warp + (mask) + aggregate over the T part transforms.
 
     Args:
@@ -155,6 +224,9 @@ def affine_transform_layer(features: jax.Array, warps: jax.Array,
         flag (networks.py:283 + pose_transform.py:79).
       warp_agg: 'max' (reference hardcoded, pose_transform.py:89) or 'avg'
         (the never-honored --warp_agg option, implemented here).
+      backend: 'matmul' (two-pass MXU contraction — the TPU fast path) or
+        'exact' (direct gather bilinear, bit-parity with torch grid_sample;
+        slow on TPU, used for parity tests and non-TPU backends).
 
     Returns:
       (N, h, w, C) aggregated warped features.
@@ -172,17 +244,21 @@ def affine_transform_layer(features: jax.Array, warps: jax.Array,
 
     neg_inf = jnp.asarray(-jnp.inf, features.dtype)
 
-    def body(i, acc):
-        if masks_r is not None:
-            def one_sample(feat, tr, mask_i):
-                warped = warp_feature_single(feat, tr, init_image_size)
-                return warped * mask_i[..., None]
-            warped = jax.vmap(one_sample)(features, warps[:, i],
-                                          masks_r[:, i])
+    def warp_one(i):
+        if backend == "matmul":
+            per_sample = jax.vmap(
+                lambda feat, tr: warp_feature_matmul(
+                    feat[None], tr, init_image_size)[0])
         else:
-            def one_sample(feat, tr):
-                return warp_feature_single(feat, tr, init_image_size)
-            warped = jax.vmap(one_sample)(features, warps[:, i])
+            per_sample = jax.vmap(
+                lambda feat, tr: warp_feature_single(
+                    feat, tr, init_image_size))
+        return per_sample(features, warps[:, i])
+
+    def body(i, acc):
+        warped = warp_one(i)
+        if masks_r is not None:
+            warped = warped * masks_r[:, i][..., None]
         if warp_agg == "max":
             return jnp.maximum(acc, warped)
         return acc + warped

@@ -65,6 +65,7 @@ class GANConfig:
     tv_penalty_weight: float = 0.0
     content_loss_layer: str = "none"
     nn_loss_area_size: int = 1
+    warp_backend: str = "matmul"   # 'matmul' (MXU path) | 'exact' (gather)
     preprocess_mode: str = "correct"   # VGG preprocess ('reference' quirk opt-in)
     check_mode: bool = False
     compute_dtype: Any = jnp.float32
@@ -116,6 +117,7 @@ def build_models(config: GANConfig):
                   nfilters_enc=enc, nfilters_dec=dec,
                   warp_skip=config.warp_skip, warp_agg=config.warp_agg,
                   use_input_pose=config.use_input_pose,
+                  warp_backend=config.warp_backend,
                   dtype=config.compute_dtype)
     if config.gen_type == "stacked":
         gen = StackedGenerator(num_stacks=config.num_stacks, **common)

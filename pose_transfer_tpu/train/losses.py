@@ -23,14 +23,19 @@ EPS = 1e-7
 
 
 def _per_sample_mean(x: jnp.ndarray) -> jnp.ndarray:
-    """(N, P) patch probabilities → (N,) per-sample means in f32."""
-    return jnp.mean(x.astype(jnp.float32), axis=-1)
+    """(N, P) patch values → (N,) per-sample means."""
+    return jnp.mean(x, axis=-1)
 
 
 def gen_adversarial_loss(disc_out_fake: jnp.ndarray, gan_weight: float,
                          batch_size: int) -> jnp.ndarray:
-    """Saturating log-loss toward 'real' on the generator's samples."""
-    per_sample = _per_sample_mean(-jnp.log(disc_out_fake + EPS))
+    """Saturating log-loss toward 'real' on the generator's samples.
+
+    Probabilities upcast to f32 *before* the +eps/log — in bf16 the eps
+    underflows against 1.0 and the log output loses all resolution.
+    """
+    p = disc_out_fake.astype(jnp.float32)
+    per_sample = _per_sample_mean(-jnp.log(p + EPS))
     return jnp.sum(per_sample) * gan_weight / batch_size
 
 
@@ -38,10 +43,12 @@ def disc_adversarial_loss(disc_out_real: jnp.ndarray,
                           disc_out_fake: jnp.ndarray, gan_weight: float,
                           batch_size: int):
     """(true_loss, fake_loss) with the reference's per-side scaling."""
+    p_real = disc_out_real.astype(jnp.float32)
+    p_fake = disc_out_fake.astype(jnp.float32)
     true_loss = jnp.sum(_per_sample_mean(
-        -jnp.log(disc_out_real + EPS))) * gan_weight / batch_size
+        -jnp.log(p_real + EPS))) * gan_weight / batch_size
     fake_loss = jnp.sum(_per_sample_mean(
-        -jnp.log(1.0 - disc_out_fake + EPS))) * gan_weight / batch_size
+        -jnp.log(1.0 - p_fake + EPS))) * gan_weight / batch_size
     return true_loss, fake_loss
 
 

@@ -17,7 +17,15 @@ import torch.nn.functional as F
 import jax
 import jax.numpy as jnp
 
-from pose_transfer_tpu.ops import warp
+import functools
+
+from pose_transfer_tpu.ops import warp as _warp_mod
+
+
+class warp:  # torch-parity pins exercise the exact gather backend
+    resize_bilinear = _warp_mod.resize_bilinear
+    affine_transform_layer = staticmethod(functools.partial(
+        _warp_mod.affine_transform_layer, backend="exact"))
 
 
 def torch_reference_warp(features_nchw: np.ndarray, warps: np.ndarray,

@@ -18,14 +18,23 @@ import time
 import numpy as np
 
 
-def timeit(fn, *args, n=5, **kw):
+def _force(out):
+    """Materialize a scalar on host — block_until_ready can return early
+    through the axon tunnel; a scalar fetch that data-depends on the output
+    forces completion without paying a big-array transfer."""
+    import jax.numpy as jnp
     import jax
-    out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(jnp.sum(leaf.astype(jnp.float32)).ravel()[0] if leaf.ndim
+          else leaf.astype(jnp.float32))
+
+
+def timeit(fn, *args, n=5, **kw):
+    _force(fn(*args, **kw))
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    _force(out)
     return (time.perf_counter() - t0) / n
 
 
@@ -69,7 +78,31 @@ def main():
     state, gen, disc = create_state(config, seed=0)
 
     fwd = jax.jit(lambda p, b: gen_apply(gen, p, b, config, train=False)[0])
-    print(f"gen fwd:       {timeit(fwd, state.gen_params, batch)*1e3:8.2f} ms")
+    print(f"gen fwd:       {timeit(fwd, state.gen_params, batch)*1e3:8.2f} ms",
+          flush=True)
+
+    # bisect: same U-Net without any warping (plain skip concat)
+    import dataclasses
+    cfg_nw = dataclasses.replace(config, warp_skip="full")
+    raw_nw = synthetic_compact_batch(rng, args.batch, hw, 18,
+                                     warp_skip="full")
+    batch_nw = jax.device_put(make_batch_preparer(
+        image_size=hw, pose_dim=18, warp_skip="full", dtype=dtype)(raw_nw))
+    state_nw, gen_nw, _ = create_state(cfg_nw, seed=0)
+    fwd_nw = jax.jit(
+        lambda p, b: gen_apply(gen_nw, p, b, cfg_nw, train=False)[0])
+    print(f"gen fwd T=1:   "
+          f"{timeit(fwd_nw, state_nw.gen_params, batch_nw)*1e3:8.2f} ms",
+          flush=True)
+
+    def loss_nw(p, b):
+        out, _ = gen_apply(gen_nw, p, b, cfg_nw, train=False)
+        return jnp.mean(jnp.abs(out - b["target"])).astype(jnp.float32)
+
+    grad_nw = jax.jit(jax.grad(loss_nw))
+    print(f"gen f+b T=1:   "
+          f"{timeit(grad_nw, state_nw.gen_params, batch_nw)*1e3:8.2f} ms",
+          flush=True)
 
     def loss_fn(p, b):
         out, _ = gen_apply(gen, p, b, config, train=False)
