@@ -26,6 +26,9 @@ import numpy as np
 
 def main() -> None:
     import jax
+
+    from pose_transfer_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from pose_transfer_tpu.data.synthetic import synthetic_compact_batch

@@ -12,7 +12,12 @@ from .opts import Opts
 
 
 def main(argv=None):
-    opt = Opts().parse(argv)
+    p = Opts()
+    p.init()
+    p.parser.add_argument("--write_iterative", default=0, type=int,
+                          help="also write the seqN iterative pair files "
+                               "(create_pairs.py:45-77; pose_dim 16 only)")
+    opt = Opts.derive(p.parser.parse_args(argv))
     write_pair_files(opt)
 
 

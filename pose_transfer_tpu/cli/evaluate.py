@@ -1,0 +1,69 @@
+"""Quantitative evaluation: SSIM + L1 over the test split.
+
+The reference never implemented a metric (SSIM/IS are explicit ToDos in its
+``Design Choices.txt``); this driver provides the north-star SSIM parity
+check (BASELINE.json). Runs the generator over the test set from the latest
+checkpoint and prints one JSON line with mean SSIM and L1.
+
+Run: ``python -m pose_transfer_tpu.cli.evaluate --expID ... --resume 1
+[--max_batches N]``
+"""
+
+from __future__ import annotations
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import PoseTransferDataset
+from ..data.dataset import collate
+from ..ops.ssim import ssim
+from ..train import GANConfig, checkpoint, create_state, make_eval_step
+from .opts import Opts
+
+
+def evaluate(opt, max_batches: int | None = None) -> dict:
+    from ..utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    config = GANConfig.from_opt(opt)
+    dataset = PoseTransferDataset(vars(opt), "test")
+    state, gen, _ = create_state(config, seed=opt.seed)
+    state, epoch = checkpoint.resume(state, opt.checkpoints_dir)
+    eval_step = make_eval_step(config, gen)
+
+    metric = jax.jit(lambda a, b: (ssim(a, b),
+                                   jnp.mean(jnp.abs(a - b))))
+    n_batches = len(dataset) // config.batch_size
+    if max_batches:
+        n_batches = min(n_batches, max_batches)
+    ssims, l1s = [], []
+    for b in range(n_batches):
+        batch = collate([dataset[b * config.batch_size + i]
+                         for i in range(config.batch_size)])
+        out, prepared = eval_step(state.gen_params, batch)
+        s, l1 = metric(out.astype(jnp.float32),
+                       prepared["target"].astype(jnp.float32))
+        ssims.append(float(s))
+        l1s.append(float(l1))
+    return {
+        "metric": "test_ssim",
+        "value": round(float(np.mean(ssims)), 5),
+        "l1": round(float(np.mean(l1s)), 5),
+        "epoch": epoch,
+        "num_batches": n_batches,
+    }
+
+
+def main(argv=None):
+    p = Opts()
+    p.init()
+    p.parser.add_argument("--max_batches", default=0, type=int)
+    opt = Opts.derive(p.parser.parse_args(argv))
+    result = evaluate(opt, opt.max_batches or None)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -49,6 +49,8 @@ def draw_step_batches(stream, training_ratio: int):
 
 def main(argv=None):
     opt = Opts().parse(argv)
+    from ..utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     print("Model options . .")
     for k, v in sorted(vars(opt).items()):
         print("  %s: %s" % (str(k), str(v)))
@@ -78,10 +80,32 @@ def main(argv=None):
                                     vgg_params=vgg_params)
     if opt.generator_checkpoint:
         state = state.replace(gen_params=checkpoint.load_params(
-            opt.generator_checkpoint, state.gen_params["params"]))
+            opt.generator_checkpoint, state.gen_params))
     if opt.discriminator_checkpoint:
         state = state.replace(disc_params=checkpoint.load_params(
-            opt.discriminator_checkpoint, state.disc_params["params"]))
+            opt.discriminator_checkpoint, state.disc_params))
+
+    if (config.gen_type == "stacked" and not opt.generator_checkpoint):
+        # the reference warm-starts the stacked generator from the trained
+        # deformable run 'full_<dataset>' (pose_gan.py:30-33 — and crashes
+        # when absent; here it is best-effort)
+        warm_dir = os.path.join(opt.exp_root, f"full_{opt.dataset}",
+                                "models")
+        warm = checkpoint.get_model_list(warm_dir, "gen")
+        if warm:
+            from flax import serialization
+            raw = checkpoint.load_raw(warm)
+            inner_tpl = state.gen_params["params"]["generator"]
+            inner = serialization.from_state_dict(
+                inner_tpl, raw["params"]["params"])
+            gp = dict(state.gen_params)
+            gp["params"] = dict(gp["params"])
+            gp["params"]["generator"] = inner
+            state = state.replace(gen_params=gp)
+            print(f"Warm-started stacked generator from {warm}")
+        else:
+            print(f"No pretrained generator under {warm_dir}; "
+                  "training stacked generator from scratch")
 
     start_epoch = 1
     if opt.resume == 1:
@@ -106,6 +130,10 @@ def main(argv=None):
                                 prefetch=bool(opt.prefetch),
                                 sharding=data_sharding)
 
+    metrics_log = open(os.path.join(opt.saveDir, "metrics.jsonl"), "a")
+    profile_remaining = opt.profile_steps
+    profiling = False
+
     for epoch in range(start_epoch, opt.number_of_epochs + 1):
         gen_losses, disc_losses = [], []
         num_iterations = opt.iters_per_epoch
@@ -113,11 +141,24 @@ def main(argv=None):
         epoch_t0 = time.time()
 
         for it in range(num_iterations):
+            if profile_remaining and not profiling and it == 1:
+                # skip step 0 (compile); trace the steady state
+                jax.profiler.start_trace(
+                    os.path.join(opt.saveDir, "trace"))
+                profiling = True
             fake, real, gen_batch = draw_step_batches(
                 stream_train, config.training_ratio)
             state, metrics, out = train_step(state, fake, real, gen_batch)
             gen_losses.append(np.asarray(metrics["gen"]))
             disc_losses.append(np.asarray(metrics["disc"]))
+            if profiling:
+                profile_remaining -= 1
+                if profile_remaining <= 0:
+                    jax.block_until_ready(state)
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    print("Wrote profiler trace to",
+                          os.path.join(opt.saveDir, "trace"))
 
             if it % opt.display_ratio == 0:
                 g_total, g_ll, g_ad = np.mean(np.array(gen_losses), axis=0)
@@ -135,6 +176,15 @@ def main(argv=None):
                           it / num_iterations, total, g_total, g_ad, g_ll,
                           d_total, d_true, d_fake, epoch, ips))
                 sys.stdout.flush()
+                import json
+                metrics_log.write(json.dumps({
+                    "epoch": epoch, "it": it, "gen_total": float(g_total),
+                    "gen_ll": float(g_ll), "gen_ad": float(g_ad),
+                    "disc_total": float(d_total), "disc_true": float(d_true),
+                    "disc_fake": float(d_fake),
+                    "images_per_sec": round(ips, 2),
+                    "time": time.time()}) + "\n")
+                metrics_log.flush()
 
                 _save_samples(opt, config, gen_batch, out, eval_step,
                               state, stream_test, epoch, it)

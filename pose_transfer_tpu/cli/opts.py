@@ -97,10 +97,23 @@ class Opts:
                        choices=["correct", "reference"],
                        help="reference = reproduce the reshape quirk "
                             "(pose_utils.py:324-331)")
+        p.add_argument("--profile_steps", default=0, type=int,
+                       help="capture a jax.profiler trace of N train steps "
+                            "to <expdir>/trace")
+        p.add_argument("--warp_backend", default="matmul",
+                       choices=["matmul", "exact"],
+                       help="matmul = two-pass MXU warp (fast on TPU); "
+                            "exact = gather bilinear (torch bit-parity)")
 
     def parse(self, args=None):
         self.init()
         opt = self.parser.parse_args(args)
+        return self.derive(opt)
+
+    @staticmethod
+    def derive(opt):
+        """Derived config: image size, dataset paths, experiment dirs,
+        opt.txt dump (opts.py:79-142)."""
         opt.saveDir = os.path.join(opt.exp_root, opt.expID)
         opt.output_dir = os.path.join(opt.exp_root, opt.expID, "results")
         opt.checkpoints_dir = os.path.join(opt.exp_root, opt.expID, "models")
@@ -146,5 +159,4 @@ class Opts:
             for k, v in sorted(vars(opt).items()):
                 f.write("  %s: %s\n" % (str(k), str(v)))
             f.write("==> Args:\n")
-        self.opt = opt
         return opt

@@ -22,6 +22,8 @@ from .opts import Opts
 
 def main(argv=None):
     opt = Opts().parse(argv)
+    from ..utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     print("Model options . .")
     for k, v in sorted(vars(opt).items()):
         print("  %s: %s" % (str(k), str(v)))

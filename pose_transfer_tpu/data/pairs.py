@@ -122,5 +122,9 @@ def write_pair_files(opt) -> tuple[int, int]:
         # (PoseTransfer_Dataset.py:30-31); write them too so a fresh
         # directory is immediately trainable.
         pairs.to_csv(getattr(opt, f"pairs_file_{split}_interpol"), index=False)
+        if getattr(opt, "write_iterative", False) and opt.pose_dim == 16:
+            it = make_pairs_iterative(ann, opt.frame_diff)
+            it.to_csv(getattr(opt, f"pairs_file_{split}_iterative"),
+                      index=False)
         counts.append(len(pairs))
     return tuple(counts)

@@ -109,9 +109,15 @@ def resume(state, save_dir: str):
     return state, epoch
 
 
-def load_params(path: str, template):
-    """Load a single net's params (e.g. warm-starting the stacked generator
-    from a trained deformable one — pose_gan.py:30-33)."""
+def load_raw(path: str) -> dict:
+    """Restore a checkpoint blob as plain nested dicts of arrays."""
     with open(path, "rb") as f:
-        data = serialization.from_bytes({"params": template}, f.read())
-    return data["params"]
+        return serialization.msgpack_restore(f.read())
+
+
+def load_params(path: str, template):
+    """Load a single net's params from a checkpoint file into ``template``
+    (e.g. warm-starting from another run — pose_gan.py:30-33). Structure-
+    tolerant: ignores the optimizer state stored alongside."""
+    raw = load_raw(path)
+    return serialization.from_state_dict(template, raw["params"])

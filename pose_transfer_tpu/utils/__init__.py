@@ -7,3 +7,4 @@ from .visualize import (  # noqa: F401
     save_image,
 )
 from .summary import count_params, summarize  # noqa: F401
+from .misc import draw_legend, mean_inputation, produce_ma_mask  # noqa: F401

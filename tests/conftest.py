@@ -21,3 +21,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu"
+
+# persistent compile cache: CPU test compiles dominate suite time
+from pose_transfer_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()

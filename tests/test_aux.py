@@ -1,0 +1,105 @@
+"""Auxiliary pieces: evaluate CLI, misc helpers, warp gradcheck, VGG."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pose_transfer_tpu.utils import mean_inputation, produce_ma_mask
+
+
+def test_mean_inputation():
+    x = np.array([[[1.0, 2.0]], [[-1.0, 4.0]], [[3.0, -1.0]]])
+    out = mean_inputation(x)
+    assert out[1, 0, 0] == pytest.approx(2.0)   # mean of 1, 3
+    assert out[2, 0, 1] == pytest.approx(3.0)   # mean of 2, 4
+    assert out[0, 0, 0] == 1.0
+
+
+def test_produce_ma_mask():
+    from pose_transfer_tpu.data.synthetic import random_skeleton
+
+    rng = np.random.default_rng(0)
+    kp = random_skeleton(rng, (64, 64), 18)
+    mask = produce_ma_mask(kp, (64, 64))
+    assert mask.dtype == bool and mask.any() and not mask.all()
+
+
+def test_warp_gradcheck():
+    """Numerical gradient check on both warp backends — the reference's
+    gradcheck concern (unitTests.py:83-85)."""
+    from jax.test_util import check_grads
+
+    from pose_transfer_tpu.ops.warp import (
+        warp_feature_matmul, warp_feature_single)
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(6, 6, 2)), jnp.float32)
+    t = jnp.asarray([0.9, 0.1, 1.0, 0.0, 1.1, -0.5, 0, 0], jnp.float32)
+    check_grads(lambda x: warp_feature_single(x, t, (6, 6)), (img,),
+                order=1, modes=["rev"], atol=1e-2, rtol=1e-2)
+    check_grads(lambda x: warp_feature_matmul(x[None], t, (6, 6))[0],
+                (img,), order=1, modes=["rev"], atol=1e-2, rtol=1e-2)
+
+
+def test_vgg_feature_extraction_and_layer_map():
+    from pose_transfer_tpu.models import vgg
+
+    assert vgg.get_layer_ind("block1_conv2") == 1
+    assert vgg.get_layer_ind("block4_conv1") == 19
+    params = vgg.random_vgg19_features(0)
+    x = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (1, 32, 32, 3)),
+                    jnp.float32)
+    f = vgg.extract_named(params, x, "block1_conv2")
+    assert f.shape == (1, 32, 32, 64)
+    f2 = vgg.extract_named(params, x, "block3_conv1", "reference")
+    assert f2.shape == (1, 8, 8, 256)
+    assert np.isfinite(np.asarray(f2)).all()
+
+
+def test_vgg_reference_preprocess_matches_torch_reshape_quirk():
+    import torch
+
+    from pose_transfer_tpu.models.vgg import preprocess_for_vgg
+
+    rng = np.random.default_rng(1)
+    x_nchw = rng.uniform(-1, 1, (2, 3, 8, 8)).astype(np.float32)
+    xt = torch.tensor(x_nchw)
+    n, c, h, w = xt.shape
+    v = xt.reshape(n, h, w, c)
+    mean = torch.tensor([0.485, 0.456, 0.406])
+    std = torch.tensor([0.229, 0.224, 0.225])
+    want = ((v - mean) / std).reshape(n, c, h, w).numpy()
+
+    got = preprocess_for_vgg(
+        jnp.asarray(x_nchw.transpose(0, 2, 3, 1)), "reference")
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), want, atol=1e-6)
+
+
+def test_evaluate_cli(tmp_path, monkeypatch):
+    from pose_transfer_tpu.cli import evaluate as eval_cli
+    from pose_transfer_tpu.cli import main as train_main
+    from pose_transfer_tpu.data.synthetic import write_synthetic_dataset
+
+    data = str(tmp_path / "data") + "/"
+    write_synthetic_dataset(data, dataset="fasion128128", pose_dim=18,
+                            num_people=2, images_per_person=3,
+                            img_size=(128, 128))
+    flags = ["--expID", "e", "--data_Dir", data, "--dataset", "fasion128128",
+             "--pose_dim", "18", "--batch_size", "2", "--iters_per_epoch",
+             "2", "--number_of_epochs", "1", "--display_ratio", "5",
+             "--checkpoint_ratio", "1", "--checkMode", "1", "--exp_root",
+             str(tmp_path / "exp"), "--prefetch", "0", "--num_devices", "1"]
+    train_main.main(flags)
+    p = eval_cli.Opts()
+    p.init()
+    p.parser.add_argument("--max_batches", default=0, type=int)
+    opt = eval_cli.Opts.derive(p.parser.parse_args(flags))
+    result = eval_cli.evaluate(opt, max_batches=2)
+    assert -1.0 <= result["value"] <= 1.0
+    assert result["epoch"] == 1
+    assert result["num_batches"] >= 1
