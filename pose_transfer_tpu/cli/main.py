@@ -117,7 +117,9 @@ def main(argv=None):
         train_step = make_parallel_train_step(config, gen, disc, mesh)
         data_sharding = None  # host batches; sharded on device_put below
     else:
-        train_step = jax.jit(make_train_step(config, gen, disc))
+        # donate the state: params + optimizer moments update in place
+        train_step = jax.jit(make_train_step(config, gen, disc),
+                             donate_argnums=(0,))
         data_sharding = None
 
     eval_step = make_eval_step(config, gen)

@@ -242,6 +242,19 @@ def affine_transform_layer(features: jax.Array, warps: jax.Array,
     else:
         masks_r = None
 
+    if backend == "pallas":
+        from . import warp_pallas
+
+        if warp_pallas.supported(h, w) and warp_agg == "max":
+            scale = jnp.asarray(
+                [1.0, 1.0, w / init_image_size[1],
+                 1.0, 1.0, h / init_image_size[0], 1.0, 1.0], jnp.float32)
+            warps_scaled = warps.astype(jnp.float32) * scale
+            m = masks_r if masks_r is not None \
+                else jnp.ones((n, t, h, w), features.dtype)
+            return warp_pallas.warp_fold_pallas(features, warps_scaled, m)
+        backend = "matmul"  # unsupported shape/agg: fall back
+
     neg_inf = jnp.asarray(-jnp.inf, features.dtype)
 
     def warp_one(i):

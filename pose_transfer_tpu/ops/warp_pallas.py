@@ -1,0 +1,350 @@
+"""Pallas TPU kernel: fused multi-transform affine warp (+mask, +max fold).
+
+Motivation: the XLA ``backend='matmul'`` two-pass warp materializes large
+bilinear weight matrices in HBM; this kernel builds them in VMEM from the
+(8,) transform scalars and consumes them immediately by MXU dots.
+
+**Status (v5e via axon, 2026-08): correct but slower than the XLA einsum
+path** — ~24 ms vs ~13 ms for the stage-0 shape (8×256×256×64, T=10). The
+kernel is bound by per-grid-cell overhead and the serialized per-output
+max-fold chain, not HBM, so the saved weight traffic does not pay off at
+these sizes. ``affine_transform_layer`` therefore defaults to 'matmul';
+this backend stays available (tested in interpret mode and on hardware)
+as the starting point for future kernel work (batched dots, wider blocks,
+double-buffered DMA).
+
+Math (identical to ``ops.warp.warp_feature_matmul``):
+  pass 1 (vertical):   tmp[o, x, c] = Σ_y ramp(v(x,o) − y) · f[y, x, c]
+  pass 2 (horizontal): z[o, xo, c] = Σ_x ramp(u(xo,o) − x) · tmp[o, x, c]
+  fold: out = max_t (z_t · mask_t), argmax recorded for the backward pass.
+  ramp(d) = max(0, 1 − |d|); v, u from the inverse affine, pre-scaled to
+  the feature resolution.
+
+Mosaic notes: all vector values stay 2-D (1-D reshapes are lane↔sublane
+relayouts Mosaic rejects); masks enter pre-transposed (N, T, W, OB-major)
+so the per-row mask slice is natively (W, 1); iotas are int32 then cast.
+
+Grid/blocking:
+  pass 1: grid (N, W/XB, T) — feature column-block stays in VMEM across T.
+  pass 2: grid (N, H/OB, T) — output row-block accumulates in VMEM across
+  T (t innermost, predicated init), so the max fold never round-trips HBM.
+
+Backward (custom VJP; transforms/masks are data): gradient routes through
+the argmax transform only; two transposed kernels reuse the same in-VMEM
+weight construction with swapped contraction sides.
+
+Requires H % OB == 0 and W % XB == 0 (true for the 256/128/64/32 ladders;
+h36m's 28px stage falls back to 'matmul' via ``supported``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+OB = 8   # output-row block (pass 2) — Mosaic sublane tiling minimum
+XB = 8   # column block (pass 1)
+
+
+def _positions(n: int, coef, offset):
+    """(n, 1) f32 positions: coef · (i + 0.5) + offset."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).astype(jnp.float32)
+    return coef * (i + 0.5) + offset
+
+
+def _ramp2d(pos, n, dtype):
+    """(rows, 1) positions → (rows, n) bilinear weights."""
+    idx = jax.lax.broadcasted_iota(
+        jnp.int32, (pos.shape[0], n), 1).astype(jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(pos - idx)).astype(dtype)
+
+
+def _mask_col(mask2d, i):
+    """Row i of an (OB, W) mask block as (W, 1). Lane slices must be
+    128-aligned and 1-D reshapes are relayouts, so select the row via a
+    one-hot contraction: (OB, W)ᵀ·onehot."""
+    ob = mask2d.shape[0]
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (ob, 1), 0) == i)
+    return jax.lax.dot_general(
+        mask2d.astype(jnp.float32), onehot.astype(jnp.float32),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+
+def _pass1_kernel(tr_ref, f_ref, tmp_ref):
+    """Vertical resample for one (n, x-block, t) cell.
+
+    Column-major layouts (x outside the (sublane, lane) tile, so per-column
+    slices are address offsets, not relayouts):
+    f_ref: (1, XB, H, C); tmp_ref: (1, 1, XB, H, C); tr_ref: (1, T, 8) SMEM.
+    """
+    h = f_ref.shape[2]
+    t = pl.program_id(2)
+    xb = pl.program_id(1)
+    m10 = tr_ref[0, t, 3]
+    m11 = tr_ref[0, t, 4]
+    ty = tr_ref[0, t, 5]
+    base = _positions(h, m11, ty - 0.5)                     # (H_out, 1)
+    for j in range(XB):
+        x = (xb * XB + j).astype(jnp.float32)
+        w = _ramp2d(base + m10 * (x + 0.5), h, f_ref.dtype)  # (H_out, H_in)
+        col = f_ref[0, j, :, :]                              # (H_in, C)
+        tmp_ref[0, 0, j, :, :] = jnp.dot(
+            w, col, preferred_element_type=jnp.float32
+        ).astype(tmp_ref.dtype)
+
+
+def _pass2_kernel(tr_ref, tmp_ref, mask_ref, out_ref, idx_ref):
+    """Horizontal resample + mask + running max for one (n, o-block, t).
+
+    tmp_ref: (1, 1, OB, W, C); mask_ref: (1, 1, W, OB) (transposed);
+    out_ref/idx_ref: (1, OB, W, C).
+    """
+    w_in = tmp_ref.shape[3]
+    t = pl.program_id(2)
+    ob = pl.program_id(1)
+    m00 = tr_ref[0, t, 0]
+    m01 = tr_ref[0, t, 1]
+    tx = tr_ref[0, t, 2]
+    base = _positions(w_in, m00, tx - 0.5)                  # (W_out, 1)
+    for i in range(OB):
+        o = (ob * OB + i).astype(jnp.float32)
+        w = _ramp2d(base + m01 * (o + 0.5), w_in, tmp_ref.dtype)
+        z = jnp.dot(w, tmp_ref[0, 0, i, :, :],
+                    preferred_element_type=jnp.float32)     # (W_out, C)
+        m = _mask_col(mask_ref[0, 0], i)                    # (W_out, 1)
+        z = (z * m).astype(out_ref.dtype)
+
+        @pl.when(t == 0)
+        def _():
+            out_ref[0, i, :, :] = z
+            idx_ref[0, i, :, :] = jnp.zeros_like(z, jnp.int32)
+
+        @pl.when(t != 0)
+        def _():
+            cur = out_ref[0, i, :, :]
+            # bf16 compares are unsupported on some targets: compare in f32
+            take = z.astype(jnp.float32) > cur.astype(jnp.float32)
+            out_ref[0, i, :, :] = jnp.where(take, z, cur)
+            cur_idx = idx_ref[0, i, :, :]
+            idx_ref[0, i, :, :] = jnp.where(take, t, cur_idx)
+
+
+def _bwd_pass2_kernel(tr_ref, g_ref, idx_ref, mask_ref, dtmp_ref):
+    """dtmp_t = pass2ᵀ(g · 1[argmax==t] · mask_t) for one (n, o-block, t)."""
+    w_in = dtmp_ref.shape[3]
+    t = pl.program_id(2)
+    ob = pl.program_id(1)
+    m00 = tr_ref[0, t, 0]
+    m01 = tr_ref[0, t, 1]
+    tx = tr_ref[0, t, 2]
+    base = _positions(w_in, m00, tx - 0.5)
+    for i in range(OB):
+        o = (ob * OB + i).astype(jnp.float32)
+        w = _ramp2d(base + m01 * (o + 0.5), w_in, jnp.float32)
+        sel = idx_ref[0, i, :, :] == t
+        dz = jnp.where(sel, g_ref[0, i, :, :], 0).astype(jnp.float32)
+        m = _mask_col(mask_ref[0, 0], i)
+        dz = dz * m
+        # dtmp[x] = Σ_xo w[xo, x] · dz[xo]  →  wᵀ @ dz
+        dtmp = jax.lax.dot_general(
+            w, dz, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (W_in, C)
+        dtmp_ref[0, 0, i, :, :] = dtmp.astype(dtmp_ref.dtype)
+
+
+def _bwd_pass1_kernel(tr_ref, dtmp_ref, df_ref):
+    """df += pass1ᵀ(dtmp_t), accumulated over t (innermost grid dim).
+
+    Column-major: dtmp_ref (1, 1, XB, H, C); df_ref (1, XB, H, C).
+    """
+    h = dtmp_ref.shape[3]
+    t = pl.program_id(2)
+    xb = pl.program_id(1)
+    m10 = tr_ref[0, t, 3]
+    m11 = tr_ref[0, t, 4]
+    ty = tr_ref[0, t, 5]
+    base = _positions(h, m11, ty - 0.5)
+    for j in range(XB):
+        x = (xb * XB + j).astype(jnp.float32)
+        w = _ramp2d(base + m10 * (x + 0.5), h, jnp.float32)  # (H_out, H_in)
+        dcol = dtmp_ref[0, 0, j, :, :].astype(jnp.float32)   # (H_out, C)
+        # df[y] = Σ_o w[o, y] · dtmp[o]  →  wᵀ @ dtmp
+        df = jax.lax.dot_general(
+            w, dcol, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (H_in, C)
+
+        @pl.when(t == 0)
+        def _():
+            df_ref[0, j, :, :] = df.astype(df_ref.dtype)
+
+        @pl.when(t != 0)
+        def _():
+            df_ref[0, j, :, :] = (df_ref[0, j, :, :]
+                                  + df.astype(df_ref.dtype))
+
+
+def _tr_spec(t: int):
+    """(N, T, 8) transforms: the whole per-sample table in SMEM (Mosaic
+    requires trailing block dims divisible by tiling or full-size; a
+    (1, 1, 8) row is neither). Kernels index row ``pl.program_id(2)``."""
+    return pl.BlockSpec((1, t, 8), lambda n, b, tt: (n, 0, 0),
+                        memory_space=pltpu.SMEM)
+
+
+def _mask_t(masks_r):
+    """(N, T, H, W) → (N, T, H/OB, OB, W): group rows by o-block. OB sits on
+    sublanes and W on lanes, so every dim is Mosaic-tileable."""
+    n, t, h, w = masks_r.shape
+    return masks_r.reshape(n, t, h // OB, OB, w)
+
+
+def _forward(features, warps, masks_r, interpret=False):
+    n, h, w, c = features.shape
+    t = warps.shape[1]
+    dtype = features.dtype
+
+    f_cm = jnp.swapaxes(features, 1, 2)  # (N, W, H, C) column-major
+    tmp_cm = pl.pallas_call(
+        _pass1_kernel,
+        grid=(n, w // XB, t),
+        in_specs=[
+            _tr_spec(t),
+            pl.BlockSpec((1, XB, h, c), lambda nn, xb, tt: (nn, xb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, XB, h, c),
+                               lambda nn, xb, tt: (nn, tt, xb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, t, w, h, c), dtype),
+        interpret=interpret,
+    )(warps, f_cm)
+    tmp = jnp.swapaxes(tmp_cm, 2, 3)  # (N, T, H, W, C) row-major
+
+    mask_spec = pl.BlockSpec((1, 1, 1, OB, w),
+                             lambda nn, ob, tt: (nn, tt, ob, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    out, idx = pl.pallas_call(
+        functools.partial(_pass2_wrapped),
+        grid=(n, h // OB, t),
+        in_specs=[
+            _tr_spec(t),
+            pl.BlockSpec((1, 1, OB, w, c),
+                         lambda nn, ob, tt: (nn, tt, ob, 0, 0),
+                         memory_space=pltpu.VMEM),
+            mask_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, OB, w, c), lambda nn, ob, tt: (nn, ob, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, OB, w, c), lambda nn, ob, tt: (nn, ob, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, h, w, c), dtype),
+            jax.ShapeDtypeStruct((n, h, w, c), jnp.int32),
+        ],
+        interpret=interpret,
+    )(warps, tmp, _mask_t(masks_r))
+    return out, idx
+
+
+def _pass2_wrapped(tr_ref, tmp_ref, mask_ref, out_ref, idx_ref):
+    # mask_ref block is (1, 1, 1, W, OB); present to the kernel as
+    # (1, 1, W, OB)
+    _pass2_kernel(tr_ref, tmp_ref, mask_ref.at[:, :, 0], out_ref, idx_ref)
+
+
+def _bwd_pass2_wrapped(tr_ref, g_ref, idx_ref, mask_ref, dtmp_ref):
+    _bwd_pass2_kernel(tr_ref, g_ref, idx_ref, mask_ref.at[:, :, 0],
+                      dtmp_ref)
+
+
+def _backward(features_shape, dtype, warps, masks_r, idx, g,
+              interpret=False):
+    n, h, w, c = features_shape
+    t = warps.shape[1]
+
+    mask_spec = pl.BlockSpec((1, 1, 1, OB, w),
+                             lambda nn, ob, tt: (nn, tt, ob, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    dtmp = pl.pallas_call(
+        _bwd_pass2_wrapped,
+        grid=(n, h // OB, t),
+        in_specs=[
+            _tr_spec(t),
+            pl.BlockSpec((1, OB, w, c), lambda nn, ob, tt: (nn, ob, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, OB, w, c), lambda nn, ob, tt: (nn, ob, 0, 0),
+                         memory_space=pltpu.VMEM),
+            mask_spec,
+        ],
+        out_specs=pl.BlockSpec((1, 1, OB, w, c),
+                               lambda nn, ob, tt: (nn, tt, ob, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, t, h, w, c), dtype),
+        interpret=interpret,
+    )(warps, g, idx, _mask_t(masks_r))
+
+    dtmp_cm = jnp.swapaxes(dtmp, 2, 3)  # (N, T, W, H, C)
+    df_cm = pl.pallas_call(
+        _bwd_pass1_kernel,
+        grid=(n, w // XB, t),
+        in_specs=[
+            _tr_spec(t),
+            pl.BlockSpec((1, 1, XB, h, c),
+                         lambda nn, xb, tt: (nn, tt, xb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, XB, h, c),
+                               lambda nn, xb, tt: (nn, xb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, w, h, c), dtype),
+        interpret=interpret,
+    )(warps, dtmp_cm)
+    return jnp.swapaxes(df_cm, 1, 2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def warp_fold_pallas(features: jax.Array, warps: jax.Array,
+                     masks_r: jax.Array, interpret: bool = False):
+    """max_t(two-pass-warp_t(features) · mask_t).
+
+    Args:
+      features: (N, H, W, C); H % 8 == 0, W % 8 == 0.
+      warps: (N, T, 8) inverse affines, translations already scaled to the
+        feature resolution.
+      masks_r: (N, T, H, W) part masks at feature resolution (all-ones for
+        unmasked warping).
+
+    Returns:
+      (N, H, W, C) folded warped features.
+    """
+    out, _ = _forward(features, warps.astype(jnp.float32), masks_r,
+                      interpret)
+    return out
+
+
+def _fwd(features, warps, masks_r, interpret):
+    warps = warps.astype(jnp.float32)
+    out, idx = _forward(features, warps, masks_r, interpret)
+    return out, (warps, masks_r, idx)
+
+
+def _bwd(interpret, res, g):
+    warps, masks_r, idx = res
+    # the output is feature-shaped, so g carries the features' shape/dtype
+    df = _backward(g.shape, g.dtype, warps, masks_r, idx, g, interpret)
+    return df, jnp.zeros_like(warps), jnp.zeros_like(masks_r)
+
+
+warp_fold_pallas.defvjp(_fwd, _bwd)
+
+
+def supported(h: int, w: int) -> bool:
+    return h % OB == 0 and w % XB == 0

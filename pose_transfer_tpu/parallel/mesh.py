@@ -68,6 +68,7 @@ def make_parallel_train_step(config: GANConfig, gen, disc, mesh: Mesh,
         step,
         in_shardings=(repl, disc_shard, disc_shard, gen_shard),
         out_shardings=(repl, repl, gen_shard),
+        donate_argnums=(0,),
     )
 
 

@@ -73,7 +73,10 @@ def main():
         feat = jnp.zeros((n, s, s, c), dtype)
         t = timeit(affine_transform_layer, feat, batch["warps"],
                    batch["masks"], hw, "mask")
-        print(f"warp {c:4d}ch @{s:3d}: {t*1e3:8.2f} ms")
+        tp = timeit(affine_transform_layer, feat, batch["warps"],
+                    batch["masks"], hw, "mask", backend="pallas")
+        print(f"warp {c:4d}ch @{s:3d}: {t*1e3:8.2f} ms | pallas "
+              f"{tp*1e3:8.2f} ms", flush=True)
 
     state, gen, disc = create_state(config, seed=0)
 
