@@ -74,7 +74,12 @@ def test_matmul_real_part_transforms():
     for t in warps:
         exact = np.asarray(warp_feature_single(img, t, (H, W)))
         fast = np.asarray(warp_feature_matmul(img[None], t, (H, W))[0])
-        assert np.abs(fast - exact).mean() < 0.05
+        # limb transforms can be ~90° rotations (|m10| ≈ 1): the two-pass
+        # vertical tap skew is then up to 1 px, so the error bound is the
+        # image's mean 1-px finite difference, not a fixed small constant
+        grad = np.abs(np.diff(np.asarray(img), axis=0)).mean()
+        m10 = abs(float(t[3]))
+        assert np.abs(fast - exact).mean() <= max(0.025, 5.0 * m10 * grad)
 
 
 def test_layer_backends_agree_and_grad_flows():
