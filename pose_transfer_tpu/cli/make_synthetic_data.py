@@ -27,12 +27,16 @@ def main(argv=None):
     p.add_argument("--num_people", default=4, type=int)
     p.add_argument("--images_per_person", default=3, type=int)
     p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--style", default="noise",
+                   choices=["noise", "skeleton"],
+                   help="skeleton = images render the pose itself, making "
+                        "pose transfer learnable (convergence smoke test)")
     args = p.parse_args(argv)
     write_synthetic_dataset(
         args.out, dataset=args.dataset, pose_dim=args.pose_dim,
         num_people=args.num_people,
         images_per_person=args.images_per_person,
-        img_size=_SIZES[args.dataset], seed=args.seed)
+        img_size=_SIZES[args.dataset], seed=args.seed, style=args.style)
     print(f"Synthetic {args.dataset} dataset written to {args.out}")
 
 

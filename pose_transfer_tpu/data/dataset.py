@@ -54,7 +54,7 @@ class PoseTransferDataset:
       split: 'train' | 'test' | 'val'.
     """
 
-    def __init__(self, opt, split: str):
+    def __init__(self, opt, split: str, cache_warps: bool = True):
         if not isinstance(opt, dict):
             opt = vars(opt)
         self.split = split
@@ -64,6 +64,11 @@ class PoseTransferDataset:
         self.image_size = tuple(opt["image_size"])
         self.use_input_pose = bool(opt["use_input_pose"])
         self.warp_skip = opt["warp_skip"]
+        # per-pair fit cache: pairs repeat every epoch, and the 10 least-
+        # squares fits + polygon builds are the host pipeline's main cost
+        # (the reference recomputed them per epoch — SURVEY.md §2.6). ~0.7 KB
+        # per pair. Keyed by index; thread-safe via the GIL (dict ops).
+        self._warp_cache: dict | None = {} if cache_warps else None
 
         self.images_dir_train = opt["images_dir_train"]
         self.images_dir_test = opt["images_dir_test"]
@@ -78,6 +83,10 @@ class PoseTransferDataset:
         self._pairs_test = read_pairs("test")
         self._annotations = ann.merge_annotations(
             opt["annotations_file_train"], opt["annotations_file_test"])
+        # pre-parse all keypoints once: pandas .loc + JSON decode per sample
+        # cost ~1 ms each in the hot loop, for data that never changes
+        self._kp = {name: ann.load_keypoints(row)
+                    for name, row in self._annotations.iterrows()}
 
         self._pairs = self._pairs_train if split == "train" \
             else self._pairs_test
@@ -96,17 +105,18 @@ class PoseTransferDataset:
         return self._pairs.iloc[index]
 
     def keypoints(self, name: str) -> np.ndarray:
-        return ann.load_keypoints(self._annotations.loc[name])
+        return self._kp[name]
 
     def load_image(self, name: str) -> np.ndarray:
         """(H, W, 3) uint8; silent black image when the file is missing."""
+        from PIL import Image
+
         for d in (self.images_dir_train, self.images_dir_test):
             path = os.path.join(d, name)
             if os.path.exists(path):
-                img = np.asarray(_imageio.imread(path))
-                if img.ndim == 2:
-                    img = np.stack([img] * 3, axis=-1)
-                return img[..., :3].astype(np.uint8)
+                with Image.open(path) as im:
+                    img = np.asarray(im.convert("RGB"))
+                return img
         return np.zeros((*self.image_size, 3), np.uint8)
 
     # ------------------------------------------------------------ warp fits
@@ -168,12 +178,21 @@ class PoseTransferDataset:
             "kp_from": kp_from.astype(np.float32),
             "kp_to": kp_to.astype(np.float32),
         }
+        cached = None if self._warp_cache is None \
+            else self._warp_cache.get(index)
         if self.gen_type == "baseline":
-            warps, polys, kinds = self._warp_fit(kp_from, kp_to)
+            if cached is None:
+                cached = self._warp_fit(kp_from, kp_to)
+                if self._warp_cache is not None:
+                    self._warp_cache[index] = cached
+            warps, polys, kinds = cached
             out.update(warps=warps, mask_polys=polys, mask_kinds=kinds)
         else:
-            interpol, warps, polys, kinds = self._interpol_chain(
-                kp_from, kp_to)
+            if cached is None:
+                cached = self._interpol_chain(kp_from, kp_to)
+                if self._warp_cache is not None:
+                    self._warp_cache[index] = cached
+            interpol, warps, polys, kinds = cached
             out.update(interpol_kp=interpol, interpol_warps=warps,
                        interpol_polys=polys, interpol_kinds=kinds)
         return out

@@ -69,6 +69,22 @@ def random_image(rng: np.random.Generator,
     return img
 
 
+def skeleton_image(kp: np.ndarray, img_size: tuple[int, int],
+                   pose_dim: int) -> np.ndarray:
+    """(H, W, 3) uint8 rendering of the skeleton itself.
+
+    A *learnable* pose-transfer task: when the image IS a deterministic
+    function of the pose, the generator must truly learn to re-render at the
+    target pose, and test SSIM climbs with training — the convergence smoke
+    the reference never had.
+    """
+    from ..utils.visualize import draw_pose_from_cords
+
+    radius = max(2, min(img_size) // 32)
+    colors, _ = draw_pose_from_cords(kp, pose_dim, img_size, radius=radius)
+    return colors
+
+
 def synthetic_compact_batch(rng: np.random.Generator, batch_size: int,
                             img_size: tuple[int, int], pose_dim: int,
                             warp_skip: str = "mask",
@@ -133,7 +149,8 @@ def write_synthetic_dataset(data_dir: str, dataset: str = "fasion",
                             pose_dim: int = 18, num_people: int = 4,
                             images_per_person: int = 3,
                             img_size: tuple[int, int] = (256, 256),
-                            seed: int = 0) -> None:
+                            seed: int = 0,
+                            style: str = "noise") -> None:
     """Write a complete on-disk synthetic dataset in the reference layout:
 
       <data_dir>/<dataset>-dataset/{train,test}/  (JPEG images)
@@ -152,10 +169,11 @@ def write_synthetic_dataset(data_dir: str, dataset: str = "fasion",
         for p in range(num_people):
             for i in range(images_per_person):
                 name = f"{split}p{p:03d}_{i:04d}.jpg"
-                Image.fromarray(random_image(rng, img_size)).save(
-                    os.path.join(img_dir, name))
-                ky, kx = dump_keypoints(
-                    random_skeleton(rng, img_size, pose_dim))
+                kp = random_skeleton(rng, img_size, pose_dim)
+                img = skeleton_image(kp, img_size, pose_dim) \
+                    if style == "skeleton" else random_image(rng, img_size)
+                Image.fromarray(img).save(os.path.join(img_dir, name))
+                ky, kx = dump_keypoints(kp)
                 rows.append((name, ky, kx))
         ann = pd.DataFrame(rows, columns=["name", "keypoints_y",
                                           "keypoints_x"])

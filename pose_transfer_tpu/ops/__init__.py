@@ -1,1 +1,1 @@
-from . import masks, nn_loss, norm, ssim, warp  # noqa: F401
+from . import masks, nn_loss, norm, ssim, warp, warp_pallas  # noqa: F401

@@ -185,3 +185,24 @@ def test_synthetic_compact_batch_shapes():
     b = synthetic.synthetic_compact_batch(rng, 1, IMG, 18,
                                           gen_type="stacked", num_stacks=3)
     assert b["interpol_warps"].shape == (1, 4, 10, 8)
+
+
+def test_skeleton_style_dataset(tmp_path):
+    from PIL import Image
+
+    from pose_transfer_tpu.data.synthetic import skeleton_image
+
+    d = str(tmp_path / "skel") + "/"
+    synthetic.write_synthetic_dataset(d, dataset="fasion128128",
+                                      pose_dim=18, num_people=2,
+                                      images_per_person=2,
+                                      img_size=(64, 64), style="skeleton")
+    img = np.asarray(Image.open(
+        d + "fasion128128-dataset/train/trainp000_0000.jpg"))
+    assert img.shape == (64, 64, 3)
+    assert img.max() > 100  # skeleton strokes present
+    # deterministic function of the keypoints
+    kp = np.array([[10, 10], [20, 20], [30, 15], [40, 25], [50, 30]] * 4)[:18]
+    a = skeleton_image(kp, (64, 64), 18)
+    b = skeleton_image(kp, (64, 64), 18)
+    np.testing.assert_array_equal(a, b)
