@@ -35,6 +35,7 @@ class BatchStream:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self._rng = np.random.default_rng(seed)
+        self._idx_lock = threading.Lock()
         self._pool = ThreadPoolExecutor(max_workers=num_threads) \
             if num_threads > 1 else None
         self._order: np.ndarray = np.array([], dtype=np.int64)
@@ -50,45 +51,70 @@ class BatchStream:
     def __iter__(self):
         return self
 
-    def __next__(self) -> dict:
-        if self._pos + self.batch_size > len(self._order):
-            if self._pos > 0 or len(self._order) == 0:
-                self.epochs_completed += int(len(self._order) > 0)
-                self._reshuffle()
-        idx = self._order[self._pos:self._pos + self.batch_size]
-        self._pos += self.batch_size
+    def next_indices(self) -> np.ndarray:
+        """Thread-safe draw of the next batch's sample indices."""
+        with self._idx_lock:
+            if self._pos + self.batch_size > len(self._order):
+                if self._pos > 0 or len(self._order) == 0:
+                    self.epochs_completed += int(len(self._order) > 0)
+                    self._reshuffle()
+            idx = self._order[self._pos:self._pos + self.batch_size]
+            self._pos += self.batch_size
+            return idx
+
+    def assemble(self, idx: np.ndarray) -> dict:
+        """Build one batch; safe to call from several threads at once."""
         if self._pool is not None:
             samples = list(self._pool.map(self.dataset.__getitem__, idx))
         else:
             samples = [self.dataset[i] for i in idx]
         return collate(samples)
 
+    def __next__(self) -> dict:
+        return self.assemble(self.next_indices())
+
 
 class DevicePrefetcher:
-    """Background thread that keeps device-resident batches ahead of compute.
+    """Background threads keeping device-resident batches ahead of compute.
 
     Wraps any batch iterator; each batch is ``jax.device_put`` (optionally
-    with a ``sharding`` for multi-device data parallelism) from the producer
+    with a ``sharding`` for multi-device data parallelism) from a producer
     thread, so the host→HBM DMA of batch i+1 overlaps the train step on
-    batch i.
+    batch i. With ``num_workers > 1``, several threads assemble batches
+    concurrently (the source iterator is locked per draw; batch order is
+    then nondeterministic across workers — fine for shuffled training).
     """
 
-    def __init__(self, it, *, buffer_size: int = 2, sharding=None,
-                 transform=None):
+    def __init__(self, it, *, buffer_size: int = 4, sharding=None,
+                 transform=None, num_workers: int = 1):
         self._it = it
         self._sharding = sharding
         self._transform = transform
-        self._q: queue.Queue = queue.Queue(maxsize=buffer_size)
+        self._q: queue.Queue = queue.Queue(maxsize=max(buffer_size,
+                                                       num_workers + 1))
         self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._lock = threading.Lock()
         self._error = None
-        self._thread.start()
+        self._live = num_workers
+        self._threads = [threading.Thread(target=self._worker, daemon=True)
+                         for _ in range(num_workers)]
+        for t in self._threads:
+            t.start()
 
     def _worker(self):
+        splittable = hasattr(self._it, "next_indices")
         try:
-            for batch in self._it:
-                if self._stop.is_set():
-                    return
+            while not self._stop.is_set():
+                if splittable:
+                    # cheap index draw under the iterator's own lock;
+                    # expensive assembly runs in parallel across workers
+                    batch = self._it.assemble(self._it.next_indices())
+                else:
+                    with self._lock:
+                        try:
+                            batch = next(self._it)
+                        except StopIteration:
+                            break
                 if self._transform is not None:
                     batch = self._transform(batch)
                 batch = jax.device_put(batch, self._sharding)
@@ -101,7 +127,10 @@ class DevicePrefetcher:
         except Exception as e:  # surfaced on next __next__
             self._error = e
         finally:
-            self._q.put(None)
+            with self._lock:
+                self._live -= 1
+                if self._live == 0:
+                    self._q.put(None)
 
     def __iter__(self):
         return self
@@ -116,19 +145,27 @@ class DevicePrefetcher:
 
     def close(self):
         self._stop.set()
-        try:
-            while True:
-                self._q.get_nowait()
-        except queue.Empty:
-            pass
+        # drain so workers blocked on a full queue can observe the stop flag
+        for _ in range(3):
+            try:
+                while True:
+                    self._q.get_nowait()
+            except queue.Empty:
+                pass
+            for t in self._threads:
+                t.join(timeout=1.0)
+            if not any(t.is_alive() for t in self._threads):
+                break
 
 
 def sample_stream(dataset, batch_size: int, *, seed: int = 0,
                   shuffle: bool = True, prefetch: bool = True,
-                  sharding=None, num_threads: int = 8):
+                  sharding=None, num_threads: int = 8,
+                  num_workers: int = 3):
     """The framework's ``load_sample`` equivalent: an infinite device stream."""
     stream = BatchStream(dataset, batch_size, shuffle=shuffle, seed=seed,
                          num_threads=num_threads)
     if not prefetch:
         return stream
-    return DevicePrefetcher(stream, sharding=sharding)
+    return DevicePrefetcher(stream, sharding=sharding,
+                            num_workers=num_workers)
