@@ -36,10 +36,14 @@ def main() -> None:
         GANConfig, create_state, make_train_step)
 
     batch = int(os.environ.get("BENCH_BATCH", "8"))
+    mode = os.environ.get("BENCH_MODE", "train")  # train | infer
     config = GANConfig(image_size=(256, 256), pose_dim=18, batch_size=batch,
                        warp_skip="mask", gen_type="baseline",
                        training_ratio=1, compute_dtype=jnp.bfloat16)
     state, gen, disc = create_state(config, seed=0)
+    if mode == "infer":
+        _bench_infer(config, gen, state)
+        return
     step = jax.jit(make_train_step(config, gen, disc), donate_argnums=(0,))
 
     rng = np.random.default_rng(0)
@@ -81,6 +85,37 @@ def main() -> None:
         "value": round(ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs, 3),
+    }))
+
+
+def _bench_infer(config, gen, state) -> None:
+    """BENCH_MODE=infer: generator-forward serving throughput."""
+    import jax
+
+    from pose_transfer_tpu.data.synthetic import synthetic_compact_batch
+    from pose_transfer_tpu.train.engine import make_eval_step
+
+    eval_step = make_eval_step(config, gen)
+    rng = np.random.default_rng(0)
+    raw = jax.device_put(synthetic_compact_batch(
+        rng, config.batch_size, config.image_size, config.pose_dim,
+        warp_skip=config.warp_skip))
+    out, _ = eval_step(state.gen_params, raw)
+    jax.block_until_ready(out)
+    float(out.astype("float32").sum())  # force through the tunnel
+
+    iters = int(os.environ.get("BENCH_ITERS", "30"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out, _ = eval_step(state.gen_params, raw)
+    float(out.astype("float32").sum())
+    dt = time.perf_counter() - t0
+    ips = iters * config.batch_size / dt
+    print(json.dumps({
+        "metric": "infer_images_per_sec_per_chip_deformable_fashion256",
+        "value": round(ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": 1.0,
     }))
 
 

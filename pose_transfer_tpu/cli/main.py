@@ -78,6 +78,11 @@ def main(argv=None):
 
     state, gen, disc = create_state(config, seed=opt.seed,
                                     vgg_params=vgg_params)
+    from ..utils.summary import count_params
+    print("---------- Networks initialized -------------")
+    print("Generator parameters: %d" % count_params(state.gen_params))
+    print("Discriminator parameters: %d" % count_params(state.disc_params))
+    print("-----------------------------------------------")
     if opt.generator_checkpoint:
         state = state.replace(gen_params=checkpoint.load_params(
             opt.generator_checkpoint, state.gen_params))
