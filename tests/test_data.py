@@ -206,3 +206,28 @@ def test_skeleton_style_dataset(tmp_path):
     a = skeleton_image(kp, (64, 64), 18)
     b = skeleton_image(kp, (64, 64), 18)
     np.testing.assert_array_equal(a, b)
+
+
+def test_make_pairs_restricted_filters_action_classes():
+    names = [f"s_01_act_{a:02d}_subact_01_ca_01_{i:06d}.jpg"
+             for a in (2, 15) for i in range(5)]
+    df = pd.DataFrame({"name": names})
+    pairs = pairs_mod.make_pairs_restricted(df)
+    # only act_15 (>= 14) survives: 5 frames → 3 (i, i+2) pairs
+    assert len(pairs) == 3
+    assert all("act_15" in n for n in pairs["from"])
+
+
+def test_prefetcher_propagates_worker_errors():
+    class Boom:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            raise RuntimeError("boom")
+
+    stream = BatchStream(Boom(), batch_size=2, num_threads=1)
+    pf = DevicePrefetcher(stream, num_workers=2)
+    with pytest.raises(RuntimeError, match="boom"):
+        next(pf)
+    pf.close()

@@ -90,3 +90,27 @@ def test_ssim_degrades_with_noise():
     s_small = float(ssim(a, a + 0.01 * rng.randn(*a.shape).astype(np.float32)))
     s_big = float(ssim(a, a + 0.2 * rng.randn(*a.shape).astype(np.float32)))
     assert s_big < s_small < 1.0
+
+
+def test_warp_agg_avg_honored():
+    """--warp_agg avg is honored here (the reference ignored it,
+    pose_transform.py:89)."""
+    import jax.numpy as jnp
+
+    from pose_transfer_tpu.ops.warp import affine_transform_layer
+
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(1, 16, 16, 4)), jnp.float32)
+    identity = jnp.tile(jnp.asarray([1, 0, 0, 0, 1, 0, 0, 0], jnp.float32),
+                        (1, 3, 1))
+    shift = identity.at[0, 1, 2].set(4.0)  # one transform translated
+    avg = affine_transform_layer(feats, shift, None, (16, 16), "none",
+                                 warp_agg="avg")
+    mx = affine_transform_layer(feats, shift, None, (16, 16), "none",
+                                warp_agg="max")
+    assert np.abs(np.asarray(avg) - np.asarray(mx)).max() > 1e-3
+    # avg of 3 identical identity warps == the input
+    same = affine_transform_layer(feats, identity, None, (16, 16), "none",
+                                  warp_agg="avg")
+    np.testing.assert_allclose(np.asarray(same), np.asarray(feats),
+                               atol=1e-5)
