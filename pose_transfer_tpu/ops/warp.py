@@ -15,10 +15,13 @@ TPU-first rebuild of the reference's warp stack
   against torch in tests/test_warp.py.
 - ``AffineTransformLayer`` resized part masks with cv2 on the CPU inside the
   forward pass (pose_transform.py:82-85 — a device→host→device sync per
-  stage). Here the resize is ``jax.image.resize`` in-graph.
-- The ×T feature blowup never hits HBM: transforms are folded with a
-  fori_loop running max/sum accumulator (and a fused Pallas kernel in
-  ``ops.warp_pallas`` for the hot path).
+  stage). Here the resize is an in-graph cv2-exact matrix contraction
+  (``resize_bilinear``).
+- The ×T feature blowup never hits HBM: transforms fold through a fori_loop
+  running max/sum accumulator. Three backends: 'matmul' (default — two-pass
+  MXU contraction, ~25× faster than gathers on TPU), 'exact' (gather
+  bilinear, bit-parity with torch grid_sample), 'pallas'
+  (``ops.warp_pallas`` fused kernel, experimental).
 
 Transforms are (T, 8) row-major first-8 of a 3×3 matrix acting on (x, y, 1):
 ``[m00, m01, tx, m10, m11, ty, 0, 0]`` — the layout produced by

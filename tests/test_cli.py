@@ -148,3 +148,28 @@ def test_display_grid_shape():
     img = display(inp, tgt, out, True, k)
     assert img.shape == (n * h, 4 * w, 3)
     assert img.dtype == np.uint8
+
+
+def test_train_warp_none_config(synth_env):
+    """BASELINE.json config 1: baseline generator, no mask warping."""
+    from pose_transfer_tpu.cli import main as train_main
+
+    root, data = synth_env
+    train_main.main(_flags(root, data, **{"--expID": "wn",
+                                          "--warp_skip": "none"}))
+    exp = root / "exp" / "wn"
+    assert list((exp / "models").glob("gen_*.msgpack"))
+
+
+def test_train_full_config_vgg_nn_loss(synth_env):
+    """BASELINE.json config 4: mask warp + nn_loss area 5 + VGG content
+    loss (random VGG filters — no pretrained weights in this env)."""
+    from pose_transfer_tpu.cli import main as train_main
+
+    root, data = synth_env
+    train_main.main(_flags(root, data, **{
+        "--expID": "fc", "--content_loss_layer": "block1_conv2",
+        "--nn_loss_area_size": "5", "--l1_penalty_weight": "1.0"}))
+    exp = root / "exp" / "fc"
+    assert list((exp / "models").glob("gen_*.msgpack"))
+    assert list((exp / "results" / "train").glob("*.png"))

@@ -200,3 +200,22 @@ def test_checkpoint_roundtrip(tmp_path):
     # empty dir → epoch 1, state untouched
     _, epoch = checkpoint.resume(fresh, str(tmp_path / "nothing"))
     assert epoch == 1
+
+
+def test_fixed_seed_step_golden():
+    """Numeric-drift tripwire: one fixed-seed step reproduces pinned
+    metrics (CPU, f32). Loose tolerance absorbs XLA version wiggle; a real
+    semantic change in losses/init/data-prep moves these by far more."""
+    config = small_config()
+    state, gen, disc = create_state(config, seed=0)
+    step = jax.jit(make_train_step(config, gen, disc))
+    rng = np.random.default_rng(42)
+    mk = lambda: synthetic.synthetic_compact_batch(  # noqa: E731
+        rng, 2, IMG, 18, warp_skip="mask")
+    fake = {k: v[None] for k, v in mk().items()}
+    real = {k: v[None] for k, v in mk().items()}
+    _, m, _ = step(state, fake, real, mk())
+    np.testing.assert_allclose(
+        np.asarray(m["gen"]), [74.523773, 73.384346, 1.139425], rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(m["disc"]), [1.227888, 0.607519, 0.620369], rtol=1e-3)
