@@ -156,6 +156,28 @@ def _line_weights(pos: jax.Array, n_in: int) -> jax.Array:
     return w
 
 
+def _two_pass_weights(transform: jax.Array, h: int, w: int,
+                      init_image_size: tuple[int, int], dtype):
+    """Banded bilinear weight matrices for the two-pass warp.
+
+    Returns:
+      wy: (W, H_out, H_in) vertical-pass weights (v evaluated at the source
+        column — the two-pass approximation).
+      wx: (H_out, W_out, W_in) horizontal-pass weights.
+    """
+    m00, m01, tx, m10, m11, ty = (transform[0], transform[1], transform[2],
+                                  transform[3], transform[4], transform[5])
+    tx = tx * (w / init_image_size[1])
+    ty = ty * (h / init_image_size[0])
+    x_out = jnp.arange(w, dtype=jnp.float32) + 0.5    # (W,)
+    y_out = jnp.arange(h, dtype=jnp.float32) + 0.5    # (H,)
+    v = m10 * x_out[:, None] + m11 * y_out[None, :] + ty - 0.5   # (W, H_out)
+    wy = _line_weights(v, h).astype(dtype)
+    u = m00 * x_out[None, :] + m01 * y_out[:, None] + tx - 0.5   # (H_out, W_out)
+    wx = _line_weights(u, w).astype(dtype)
+    return wy, wx
+
+
 def warp_feature_matmul(features: jax.Array, transform: jax.Array,
                         init_image_size: tuple[int, int]) -> jax.Array:
     """Two-pass affine warp as two banded-matrix contractions (MXU path).
@@ -180,28 +202,134 @@ def warp_feature_matmul(features: jax.Array, transform: jax.Array,
       (N, H, W, C) warped features.
     """
     n, h, w, c = features.shape
-    m00, m01, tx, m10, m11, ty = (transform[0], transform[1], transform[2],
-                                  transform[3], transform[4], transform[5])
-    tx = tx * (w / init_image_size[1])
-    ty = ty * (h / init_image_size[0])
-
-    x_out = jnp.arange(w, dtype=jnp.float32) + 0.5    # (W,)
-    y_out = jnp.arange(h, dtype=jnp.float32) + 0.5    # (H,)
-
+    wy, wx = _two_pass_weights(transform, h, w, init_image_size,
+                               features.dtype)
     # pass 1 (vertical): tmp[n, yo, x, c] = Σ_y wy[x, yo, y] · img[n, y, x, c]
-    # v evaluated at the source column x (two-pass approximation)
-    v = m10 * (jnp.arange(w, dtype=jnp.float32) + 0.5)[:, None] \
-        + m11 * y_out[None, :] + ty - 0.5             # (W, H_out)
-    wy = _line_weights(v, h).astype(features.dtype)   # (W, H_out, H_in)
     tmp = jnp.einsum("xoy,nyxc->noxc", wy, features,
                      preferred_element_type=jnp.float32)
-
     # pass 2 (horizontal): out[n, yo, xo, c] = Σ_x wx[yo, xo, x]·tmp[n,yo,x,c]
-    u = m00 * x_out[None, :] + m01 * y_out[:, None] + tx - 0.5  # (H_out, W_out)
-    wx = _line_weights(u, w).astype(features.dtype)   # (H_out, W_out, W_in)
     out = jnp.einsum("oax,noxc->noac", wx, tmp.astype(features.dtype),
                      preferred_element_type=jnp.float32)
     return out.astype(features.dtype)
+
+
+def warp_feature_matmul_t(cotangent: jax.Array, transform: jax.Array,
+                          init_image_size: tuple[int, int]) -> jax.Array:
+    """Linear transpose of ``warp_feature_matmul`` w.r.t. the features.
+
+    Same banded weights, contracted on the opposite sides, in reverse pass
+    order: dtmp[n,o,x,c] = Σ_a wx[o,a,x]·g[n,o,a,c], then
+    df[n,y,x,c] = Σ_o wy[x,o,y]·dtmp[n,o,x,c].
+    """
+    n, h, w, c = cotangent.shape
+    wy, wx = _two_pass_weights(transform, h, w, init_image_size,
+                               cotangent.dtype)
+    dtmp = jnp.einsum("oax,noac->noxc", wx, cotangent,
+                      preferred_element_type=jnp.float32)
+    df = jnp.einsum("xoy,noxc->nyxc", wy, dtmp.astype(cotangent.dtype),
+                    preferred_element_type=jnp.float32)
+    return df.astype(cotangent.dtype)
+
+
+def _warp_batch(features, warps_t, init_image_size):
+    """Per-sample transforms: vmap the single-transform two-pass warp."""
+    return jax.vmap(lambda f, tr: warp_feature_matmul(
+        f[None], tr, init_image_size)[0])(features, warps_t)
+
+
+def _warp_batch_t(g, warps_t, init_image_size):
+    return jax.vmap(lambda gg, tr: warp_feature_matmul_t(
+        gg[None], tr, init_image_size)[0])(g, warps_t)
+
+
+def _fold_scan(features, warps, masks_r, init_image_size, warp_agg):
+    """Forward fold: max (with argmax index) or mean over the T transforms.
+
+    Returns (out, idx); idx is None for 'avg'. The running max keeps only
+    one feature-sized accumulator live — the ×T stack never hits HBM.
+    """
+    n, h, w, c = features.shape
+    t = warps.shape[1]
+
+    if warp_agg == "max":
+        def body(i, carry):
+            acc, idx = carry
+            warped = _warp_batch(features, warps[:, i], init_image_size)
+            if masks_r is not None:
+                warped = warped * masks_r[:, i][..., None]
+            take = warped > acc  # strict: earliest t wins ties (t=0 inits)
+            return (jnp.where(take, warped, acc),
+                    jnp.where(take, i, idx))
+
+        init = (jnp.full((n, h, w, c), -jnp.inf, features.dtype),
+                jnp.zeros((n, h, w, c), jnp.int32))
+        return jax.lax.fori_loop(0, t, body, init)
+
+    def body(i, acc):
+        warped = _warp_batch(features, warps[:, i], init_image_size)
+        if masks_r is not None:
+            warped = warped * masks_r[:, i][..., None]
+        return acc + warped.astype(jnp.float32)
+
+    acc = jax.lax.fori_loop(0, t, body,
+                            jnp.zeros((n, h, w, c), jnp.float32))
+    return (acc / t).astype(features.dtype), None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def warp_fold_matmul(features: jax.Array, warps: jax.Array,
+                     masks_r: jax.Array | None,
+                     init_image_size: tuple[int, int],
+                     warp_agg: str = "max") -> jax.Array:
+    """agg_t(two-pass-warp_t(features) · mask_t) with a hand-written VJP.
+
+    Autodiff of the T-fold would either save every per-transform warped map
+    as scan residuals (~0.5 GB × T at stage 0 — a batch-16 OOM) or, under
+    ``jax.checkpoint``, recompute the whole fold *and* re-save them in the
+    backward (measured ~40 ms of the 54 ms warp fwd+bwd at stage 0). The warp
+    is linear in the features, so the VJP needs no feature residuals at all:
+
+    - 'max': save only the argmax transform index (int32, feature-shaped);
+      backward routes the cotangent through that transform's transposed
+      two-pass — the same rule as the Pallas kernel's VJP
+      (ops/warp_pallas.py) and torch's max subgradient.
+    - 'avg': no residual beyond warps/masks; backward transposes every t.
+
+    Gradients for ``warps``/``masks_r`` are defined as zero: both are
+    host-estimated data (reference semantics — pose_transform.py's transforms
+    never receive gradients), matching the 'exact' backend's stop_gradient.
+    """
+    out, _ = _fold_scan(features, warps, masks_r, init_image_size, warp_agg)
+    return out
+
+
+def _fold_fwd(features, warps, masks_r, init_image_size, warp_agg):
+    out, idx = _fold_scan(features, warps, masks_r, init_image_size,
+                          warp_agg)
+    return out, (warps, masks_r, idx)
+
+
+def _fold_bwd(init_image_size, warp_agg, res, g):
+    warps, masks_r, idx = res
+    t = warps.shape[1]
+
+    def body(i, df):
+        if warp_agg == "max":
+            gm = jnp.where(idx == i, g, 0)
+        else:
+            gm = g / t
+        if masks_r is not None:
+            gm = gm * masks_r[:, i][..., None]
+        back = _warp_batch_t(gm.astype(g.dtype), warps[:, i],
+                             init_image_size)
+        return df + back.astype(jnp.float32)
+
+    df = jax.lax.fori_loop(0, t, body, jnp.zeros(g.shape, jnp.float32))
+    return (df.astype(g.dtype), jnp.zeros_like(warps),
+            None if masks_r is None else jnp.zeros_like(masks_r))
+
+
+warp_fold_matmul.defvjp(_fold_fwd, _fold_bwd)
 
 
 @functools.partial(jax.jit,
@@ -258,6 +386,13 @@ def affine_transform_layer(features: jax.Array, warps: jax.Array,
             return warp_pallas.warp_fold_pallas(features, warps_scaled, m)
         backend = "matmul"  # unsupported shape/agg: fall back
 
+    if backend == "matmul":
+        # custom VJP: argmax-routed backward, no recompute, no per-t scan
+        # residuals (see warp_fold_matmul) — measured 97.6 → ~75 ms for the
+        # batch-8 256² generator fwd+bwd vs the previous remat fold.
+        return warp_fold_matmul(features, warps, masks_r, init_image_size,
+                                warp_agg)
+
     neg_inf = jnp.asarray(-jnp.inf, features.dtype)
 
     init = jnp.full((n, h, w, c), neg_inf, features.dtype) \
@@ -265,14 +400,9 @@ def affine_transform_layer(features: jax.Array, warps: jax.Array,
 
     def fold(feats, wps, msks):
         def body(i, acc):
-            if backend == "matmul":
-                per_sample = jax.vmap(
-                    lambda feat, tr: warp_feature_matmul(
-                        feat[None], tr, init_image_size)[0])
-            else:
-                per_sample = jax.vmap(
-                    lambda feat, tr: warp_feature_single(
-                        feat, tr, init_image_size))
+            per_sample = jax.vmap(
+                lambda feat, tr: warp_feature_single(
+                    feat, tr, init_image_size))
             warped = per_sample(feats, wps[:, i])
             if msks is not None:
                 warped = warped * msks[:, i][..., None]
@@ -284,8 +414,5 @@ def affine_transform_layer(features: jax.Array, warps: jax.Array,
         return out / t if warp_agg == "avg" else out
 
     # rematerialize in backward: autodiff through the T-fold otherwise saves
-    # every per-transform weight matrix (~0.5 GB × T at stage 0) as scan
-    # residuals — a batch-16 OOM. Full recompute measured fastest among the
-    # policies tried on v5e (186 img/s vs 158 with dots_saveable at batch 8)
-    # and costs ~9% vs no remat while enabling 2× batch.
+    # every per-transform gathered map as scan residuals.
     return jax.checkpoint(fold)(features, warps, masks_r)

@@ -347,4 +347,7 @@ warp_fold_pallas.defvjp(_fwd, _bwd)
 
 
 def supported(h: int, w: int) -> bool:
-    return h % OB == 0 and w % XB == 0
+    # W sits on the 128-wide lane dim of the transposed mask block and of
+    # per-row slices; Mosaic requires 128-aligned lane extents (a 64-wide
+    # slice fails to compile on v5e). H additionally feeds the o-block grid.
+    return h % OB == 0 and w % XB == 0 and w % 128 == 0
