@@ -259,10 +259,13 @@ def _fold_scan(features, warps, masks_r, init_image_size, warp_agg):
                 warped = warped * masks_r[:, i][..., None]
             take = warped > acc  # strict: earliest t wins ties (t=0 inits)
             return (jnp.where(take, warped, acc),
-                    jnp.where(take, i, idx))
+                    jnp.where(take, i.astype(jnp.int8), idx))
 
+        # int8 index: T ≤ 10 always; idx is read+written every fold step and
+        # re-read per t in the backward, so width is pure HBM traffic —
+        # int32→int8 measured 26.6→21.3 ms for the stage-0 fwd+bwd.
         init = (jnp.full((n, h, w, c), -jnp.inf, features.dtype),
-                jnp.zeros((n, h, w, c), jnp.int32))
+                jnp.zeros((n, h, w, c), jnp.int8))
         return jax.lax.fori_loop(0, t, body, init)
 
     def body(i, acc):
@@ -289,7 +292,7 @@ def warp_fold_matmul(features: jax.Array, warps: jax.Array,
     backward (measured ~40 ms of the 54 ms warp fwd+bwd at stage 0). The warp
     is linear in the features, so the VJP needs no feature residuals at all:
 
-    - 'max': save only the argmax transform index (int32, feature-shaped);
+    - 'max': save only the argmax transform index (int8, feature-shaped);
       backward routes the cotangent through that transform's transposed
       two-pass — the same rule as the Pallas kernel's VJP
       (ops/warp_pallas.py) and torch's max subgradient.
@@ -315,7 +318,7 @@ def _fold_bwd(init_image_size, warp_agg, res, g):
 
     def body(i, df):
         if warp_agg == "max":
-            gm = jnp.where(idx == i, g, 0)
+            gm = jnp.where(idx == i.astype(jnp.int8), g, 0)
         else:
             gm = g / t
         if masks_r is not None:
