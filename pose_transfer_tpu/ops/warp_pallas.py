@@ -5,13 +5,18 @@ bilinear weight matrices in HBM; this kernel builds them in VMEM from the
 (8,) transform scalars and consumes them immediately by MXU dots.
 
 **Status (v5e via axon, 2026-08): correct but slower than the XLA einsum
-path** — ~24 ms vs ~13 ms for the stage-0 shape (8×256×256×64, T=10). The
-kernel is bound by per-grid-cell overhead and the serialized per-output
-max-fold chain, not HBM, so the saved weight traffic does not pay off at
-these sizes. ``affine_transform_layer`` therefore defaults to 'matmul';
-this backend stays available (tested in interpret mode and on hardware)
-as the starting point for future kernel work (batched dots, wider blocks,
-double-buffered DMA).
+path** — steady-state (warmed, 30-iter) 20.7 ms vs 8.8 ms for the stage-0
+shape (8×256×256×64, T=10). Block-size sweep: OB=XB=16 gives 19.5 ms;
+≥32 fails to compile (VMEM/unroll limits) — so grid overhead is NOT the
+binding cost. The kernel is bound by per-(n,t,column) unit work: the
+(H_out, H_in) VPU ramp build plus an MXU dot with N=C=64 (half a 128-lane
+MXU tile), serialized with the per-output max-fold chain. The XLA path
+pays HBM round-trips for the same weight matrices instead and still wins;
+beating it needs a structurally different kernel (banded weights with
+dynamic sublane windows), whose small-dot latency penciled out worse in
+analysis. ``affine_transform_layer`` therefore defaults to 'matmul'; this
+backend stays available (tested in interpret mode and on hardware) as the
+starting point for future kernel work.
 
 Math (identical to ``ops.warp.warp_feature_matmul``):
   pass 1 (vertical):   tmp[o, x, c] = Σ_y ramp(v(x,o) − y) · f[y, x, c]

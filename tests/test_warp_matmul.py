@@ -114,3 +114,85 @@ def test_bfloat16_roundtrip():
     f32 = warp_feature_matmul(img[None].astype(jnp.float32), t, (H, W))[0]
     np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(f32),
                                atol=0.05)
+
+
+# ---- custom-VJP fold (warp_fold_matmul) ----------------------------------
+
+from pose_transfer_tpu.ops.warp import (  # noqa: E402
+    _fold_scan,
+    warp_feature_matmul_t,
+    warp_fold_matmul,
+)
+
+
+def _fold_inputs(seed, t=4):
+    rng = np.random.default_rng(seed)
+    feats = jnp.asarray(rng.normal(size=(2, H, W, 8)), jnp.float32)
+    trs = np.tile(np.eye(3, dtype=np.float32).ravel()[:8], (2, t, 1))
+    trs[:, :, 2] = rng.uniform(-4, 4, (2, t))      # tx
+    trs[:, :, 5] = rng.uniform(-4, 4, (2, t))      # ty
+    trs[:, :, 0] = rng.uniform(0.7, 1.3, (2, t))   # m00
+    trs[:, :, 4] = rng.uniform(0.7, 1.3, (2, t))   # m11
+    trs[:, :, 1] = rng.uniform(-0.2, 0.2, (2, t))  # m01
+    trs[:, :, 3] = rng.uniform(-0.2, 0.2, (2, t))  # m10
+    # strictly positive masks: no masked-zero ties between transforms
+    masks = jnp.asarray(rng.uniform(0.5, 1.5, (2, t, H, W)), jnp.float32)
+    return feats, jnp.asarray(trs), masks
+
+
+def test_matmul_transpose_is_adjoint():
+    """<Wf, g> == <f, Wᵀg>: warp_feature_matmul_t is the exact linear
+    transpose of warp_feature_matmul for arbitrary affines."""
+    rng = np.random.default_rng(11)
+    f = jnp.asarray(rng.normal(size=(1, H, W, 8)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(1, H, W, 8)), jnp.float32)
+    tr = jnp.asarray([0.9, 0.25, 2.0, -0.35, 1.2, -3.0, 0, 0], jnp.float32)
+    wf = warp_feature_matmul(f, tr, (H, W))
+    wtg = warp_feature_matmul_t(g, tr, (H, W))
+    lhs = float(jnp.sum(wf * g))
+    rhs = float(jnp.sum(f * wtg))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-5)
+
+
+@pytest.mark.parametrize("agg", ["max", "avg"])
+def test_fold_custom_vjp_matches_autodiff(agg):
+    """The hand-written VJP equals autodiff of the forward fold."""
+    feats, warps, masks = _fold_inputs(12)
+
+    def loss_custom(f):
+        out = warp_fold_matmul(f, warps, masks, (H, W), agg)
+        return jnp.sum(out * jnp.sin(out))
+
+    def loss_autodiff(f):
+        out, _ = _fold_scan(f, warps, masks, (H, W), agg)
+        return jnp.sum(out * jnp.sin(out))
+
+    np.testing.assert_allclose(np.asarray(loss_custom(feats)),
+                               np.asarray(loss_autodiff(feats)), rtol=1e-6)
+    g_c = np.asarray(jax.grad(loss_custom)(feats))
+    g_a = np.asarray(jax.grad(loss_autodiff)(feats))
+    np.testing.assert_allclose(g_c, g_a, atol=2e-4, rtol=1e-4)
+
+
+def test_fold_vjp_no_grad_to_warps_masks():
+    """Transforms/masks are host-estimated data: their gradients are
+    defined as zero (reference parity — pose_transform.py's transforms
+    never receive gradients)."""
+    feats, warps, masks = _fold_inputs(13)
+    gw, gm = jax.grad(
+        lambda w, m: jnp.sum(
+            warp_fold_matmul(feats, w, m, (H, W), "max") ** 2),
+        argnums=(0, 1))(warps, masks)
+    assert float(jnp.abs(gw).max()) == 0.0
+    assert float(jnp.abs(gm).max()) == 0.0
+
+
+def test_fold_idx_first_t_wins_ties():
+    """Duplicate transforms tie everywhere; the argmax index must stay at
+    the first occurrence (strict > update), and fit int8."""
+    feats, warps, masks = _fold_inputs(14, t=3)
+    warps = warps.at[:, 1].set(warps[:, 0])   # t=1 duplicates t=0
+    masks = masks.at[:, 1].set(masks[:, 0])
+    _, idx = _fold_scan(feats, warps, masks, (H, W), "max")
+    assert idx.dtype == jnp.int8
+    assert not bool(jnp.any(idx == 1))        # never the duplicate
