@@ -271,8 +271,15 @@ def bench_torch(hw: int, batch: int, iters: int, pose_dim: int = 18):
     return dt, 3 * batch / dt
 
 
-def bench_jax_cpu(hw: int, batch: int, iters: int):
-    """Our framework's full train step on the same CPU."""
+def bench_jax_cpu(hw: int, batch: int, iters: int,
+                  warp_backend: str = "exact"):
+    """Our framework's full train step on the same CPU.
+
+    Defaults to the 'exact' gather warp: the dense-matmul backend trades
+    ~H× FLOPs for MXU friendliness — a 25× win on TPU, a big loss on CPU
+    (510 vs 21 s/iter at 128², measured) — so a CPU deployment picks
+    'exact', like torch's grid_sample does.
+    """
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -285,7 +292,8 @@ def bench_jax_cpu(hw: int, batch: int, iters: int):
         GANConfig, create_state, make_train_step)
 
     config = GANConfig(image_size=(hw, hw), pose_dim=18, batch_size=batch,
-                       warp_skip="mask", compute_dtype=jnp.float32)
+                       warp_skip="mask", compute_dtype=jnp.float32,
+                       warp_backend=warp_backend)
     state, gen, disc = create_state(config, seed=0)
     step = jax.jit(make_train_step(config, gen, disc))
     rng = np.random.default_rng(0)
