@@ -29,8 +29,12 @@ def _force(out):
           else leaf.astype(jnp.float32))
 
 
-def timeit(fn, *args, n=5, **kw):
-    _force(fn(*args, **kw))
+def timeit(fn, *args, n=20, warm=5, **kw):
+    # ≥5 warm-up calls: the first dispatches after compile carry ~50 ms of
+    # tunnel warm-up; with n=5 and one warm-up every op looked ~5 ms slower
+    for _ in range(warm):
+        out = fn(*args, **kw)
+    _force(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args, **kw)
@@ -130,7 +134,7 @@ def main():
         s2, m2, _ = step(s, fake, fake, raw)
         return s2
 
-    print(f"full step:     {timeit(run, st, n=3)*1e3:8.2f} ms")
+    print(f"full step:     {timeit(run, st, n=15)*1e3:8.2f} ms")
 
 
 if __name__ == "__main__":
