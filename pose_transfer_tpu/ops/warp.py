@@ -23,6 +23,28 @@ TPU-first rebuild of the reference's warp stack
   bilinear, bit-parity with torch grid_sample), 'pallas'
   (``ops.warp_pallas`` fused kernel, experimental).
 
+Fold-structure variants measured on v5e (full train step, bf16, batch 8,
+256²; the fori_loop fold = 249 img/s) — all SLOWER, do not revisit without
+new evidence:
+  - all-T batched einsums for both passes + single max/argmax reduce:
+    189 img/s. Three batch dims (n,t,o) on pass 2 drop XLA's convolution
+    lowering, so the (N,T,H,W,W) ramp weights *materialize* (2.7 GB, ~8 ms
+    of pure HBM writes/step); the (N,T,H,W,C) z-stack adds ~1.3 GB traffic.
+  - batched pass 1 (fine on its own: batch dims (n,x) keep the conv
+    lowering and the ramp stays fused) + per-t unrolled pass 2 + single
+    max/argmax: 207 img/s. Slicing the (N,T,...) tmp stack costs
+    slice-copies; the stack write/read outweighs the removed while overhead.
+  - fully per-t python-unrolled loop with running max (identical math to
+    the fori body): 208 img/s. XLA's while loop aliases the carried
+    accumulator in place; the unrolled chain allocates fresh buffers per t
+    and schedules worse. The while's total overhead above the MXU floor is
+    only ~13 ms/step across all folds.
+The fold is MXU-bound, not bandwidth-bound: the ramp build is fused into
+the dot operand (verified in HLO — `convolution-base-dilated` inside the
+same fusion as the iota/abs/max ramp), so each fold pass costs the full
+dense H×H contraction (~0.35 ms per t per pass at stage 0). Beating it
+requires cutting contraction width (banded windows), not better folding.
+
 Transforms are (T, 8) row-major first-8 of a 3×3 matrix acting on (x, y, 1):
 ``[m00, m01, tx, m10, m11, ty, 0, 0]`` — the layout produced by
 ``core.transforms_host.affine_transforms``. Translations are estimated at the
