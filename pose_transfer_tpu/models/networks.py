@@ -82,10 +82,15 @@ class Block(nn.Module):
                         padding=((1, 1), (1, 1)), use_bias=False,
                         kernel_init=_conv_init, dtype=self.dtype)(x)
         else:
+            # reference: ConvTranspose k4s2 VALID then Cropping2D(1)
+            # (networks.py:134-139, 154-157). Expressed as explicit padding
+            # (2,2) on the dilated input — bit-equal output (pinned in
+            # tests/test_models.py), but the crop never materializes as a
+            # separate slice copy (~9 ms/step of decoder slice fusions at
+            # 256² before this fold).
             x = nn.ConvTranspose(self.features, (4, 4), strides=(2, 2),
-                                 padding="VALID", use_bias=False,
+                                 padding=((2, 2), (2, 2)), use_bias=False,
                                  kernel_init=_conv_init, dtype=self.dtype)(x)
-            x = x[:, 1:-1, 1:-1, :]  # Cropping2D(1) (networks.py:134-139)
         if self.bn:
             x = VolumeInstanceNorm()(x)
         if self.dropout:

@@ -24,7 +24,13 @@ def volume_instance_norm(x: jax.Array, weight: jax.Array, bias: jax.Array,
     """
     dtype = x.dtype
     x32 = x.astype(jnp.float32)
+    # one-pass stats: E[x] and E[x²] are independent reductions over the
+    # same input, so XLA fuses them into a single read of x (the centered
+    # two-pass form costs an extra full activation read per norm, in both
+    # the forward and its VJP). f32 accumulation keeps the cancellation in
+    # E[x²]−E[x]² benign at activation scales; clamped at 0 regardless.
     mean = jnp.mean(x32, axis=(1, 2, 3), keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2, 3), keepdims=True)
+    msq = jnp.mean(jnp.square(x32), axis=(1, 2, 3), keepdims=True)
+    var = jnp.maximum(msq - jnp.square(mean), 0.0)
     y = (x32 - mean) * jax.lax.rsqrt(var + eps)
     return (y * weight + bias).astype(dtype)

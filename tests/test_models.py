@@ -175,3 +175,20 @@ def test_generator_gradients_flow_through_warp():
     app_kernel_grads = jax.tree.leaves(
         grads["params"]["encoder_app"])
     assert any(float(jnp.abs(g).max()) > 0 for g in app_kernel_grads)
+
+
+def test_up_block_padding_equals_valid_plus_crop():
+    """The up Block's padding-(2,2) ConvTranspose must be bit-equal to the
+    reference semantics: k4s2 VALID transpose then Cropping2D(1)
+    (networks.py:134-139, 154-157)."""
+    import flax.linen as nn
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 8, 8, 5), jnp.float32)
+    k = jnp.asarray(np.random.RandomState(1).randn(4, 4, 5, 7), jnp.float32)
+    params = {"params": {"kernel": k}}
+    ref = nn.ConvTranspose(7, (4, 4), strides=(2, 2), padding="VALID",
+                           use_bias=False).apply(params, x)[:, 1:-1, 1:-1, :]
+    ours = nn.ConvTranspose(7, (4, 4), strides=(2, 2),
+                            padding=((2, 2), (2, 2)),
+                            use_bias=False).apply(params, x)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(ours))

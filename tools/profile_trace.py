@@ -159,21 +159,41 @@ def main() -> None:
         print(f"{ms / steps:9.3f}  {cat}")
     print(f"{total / steps:9.3f}  TOTAL (sum of events; overlaps possible)")
 
-    # attribution: map op name → metadata args (source op_name / long_name)
-    op_meta = {}
-    for ev in data.get("traceEvents", []):
-        if ev.get("ph") == "X" and ev.get("name") in per_op \
-                and ev.get("name") not in op_meta:
-            a = ev.get("args", {})
-            meta = a.get("long_name") or a.get("tf_op") or a.get("op_name") \
-                or a.get("source") or ""
-            if meta:
-                op_meta[ev["name"]] = str(meta)
+    # attribution: join trace op names with the compiled HLO's per-op
+    # source metadata (trace events carry none through the axon tunnel)
+    hlo = jax.jit(make_train_step(config, gen, disc)).lower(
+        state, fake, real, gen_batch).compile().as_text()
+    op_src = {}
+    for mm in re.finditer(
+            r"%([\w.-]+) = [^\n]*?metadata=\{[^}]*?op_name=\"([^\"]*)\""
+            r"(?:[^}]*?source_file=\"([^\"]*)\")?"
+            r"(?:[^}]*?source_line=(\d+))?", hlo):
+        name, op_name, sf, sl = mm.groups()
+        src = op_name
+        if sf:
+            src += f"  [{os.path.basename(sf)}:{sl}]"
+        op_src.setdefault(name, src)
+
+    def attribute(name):
+        src = op_src.get(name, "")
+        # strip jit wrapper prefix noise
+        return re.sub(r"^jit\(train_step\)/", "", src)
+
+    per_src = collections.Counter()
+    for name, ms in per_op.items():
+        src = attribute(name)
+        # bucket by source file:line when present, else by op path head
+        m = re.search(r"\[([^\]]+)\]$", src)
+        key = m.group(1) if m else (src.split("/")[0] or name.split(".")[0])
+        per_src[key] += ms
+
+    print(f"\n== top {args.top} source sites (ms/step) ==")
+    for key, ms in per_src.most_common(args.top):
+        print(f"{ms / steps:9.3f}  {key}")
 
     print(f"\n== top {args.top} ops (ms/step) ==")
     for name, ms in per_op.most_common(args.top):
-        meta = op_meta.get(name, "")
-        print(f"{ms / steps:9.3f}  {name[:60]}  |  {meta[:220]}")
+        print(f"{ms / steps:9.3f}  {name[:44]}  |  {attribute(name)[:180]}")
 
 
 if __name__ == "__main__":
