@@ -156,8 +156,12 @@ def main(argv=None):
             fake, real, gen_batch = draw_step_batches(
                 stream_train, config.training_ratio)
             state, metrics, out = train_step(state, fake, real, gen_batch)
-            gen_losses.append(np.asarray(metrics["gen"]))
-            disc_losses.append(np.asarray(metrics["disc"]))
+            # keep metrics on device: np.asarray here would force a
+            # device→host sync every iteration, serializing the step
+            # pipeline (each sync is a full tunnel/PCIe round trip); they
+            # are materialized together at display time
+            gen_losses.append(metrics["gen"])
+            disc_losses.append(metrics["disc"])
             if profiling:
                 profile_remaining -= 1
                 if profile_remaining <= 0:
@@ -168,9 +172,13 @@ def main(argv=None):
                           os.path.join(opt.saveDir, "trace"))
 
             if it % opt.display_ratio == 0:
-                g_total, g_ll, g_ad = np.mean(np.array(gen_losses), axis=0)
-                d_total, d_true, d_fake = np.mean(np.array(disc_losses),
-                                                  axis=0)
+                import jax.numpy as jnp
+                # one stacked fetch (a per-element np.array would round-trip
+                # the tunnel once per recorded step)
+                g_total, g_ll, g_ad = np.asarray(
+                    jnp.mean(jnp.stack(gen_losses), axis=0))
+                d_total, d_true, d_fake = np.asarray(
+                    jnp.mean(jnp.stack(disc_losses), axis=0))
                 total = g_total + d_total
                 elapsed = time.time() - epoch_t0
                 ips = (it + 1) * config.batch_size * \

@@ -43,7 +43,12 @@ The fold is MXU-bound, not bandwidth-bound: the ramp build is fused into
 the dot operand (verified in HLO — `convolution-base-dilated` inside the
 same fusion as the iota/abs/max ramp), so each fold pass costs the full
 dense H×H contraction (~0.35 ms per t per pass at stage 0). Beating it
-requires cutting contraction width (banded windows), not better folding.
+requires cutting contraction width (banded windows), not better folding —
+and banded tiles pencil out worse: the band is 2 wide, the MXU tile is
+128, so windowed small dots lose more utilization than they save in FLOPs.
+int8 quantized dots (2× MXU peak on v5e) also measured SLOWER through XLA
+(16.6 vs 12.0 ms for the stage-0 fold forward) — the quantize/requantize
+elementwise passes and the int8 lowering eat the gain.
 
 Transforms are (T, 8) row-major first-8 of a 3×3 matrix acting on (x, y, 1):
 ``[m00, m01, tx, m10, m11, ty, 0, 0]`` — the layout produced by

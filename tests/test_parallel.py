@@ -64,7 +64,12 @@ def test_parallel_step_matches_single_device():
     host8 = unreplicate_state(s8)
     for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(s1.gen_params)),
                     jax.tree_util.tree_leaves(host8.gen_params)):
-        np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-4)
+        # atol: one Adam update quantum. Adam's step is lr·m̂/(√v̂+ε) —
+        # sign-like for any nonzero grad — so a near-zero gradient whose
+        # SIGN flips under the psum's f32 reassociation moves its param by
+        # up to 2·lr = 4e-4 on the first step. Everything else matches to
+        # rtol; this bounds the reassociation-sensitive stragglers.
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=4.1e-4)
 
 
 def test_parallel_eval_step():

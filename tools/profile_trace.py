@@ -54,6 +54,7 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--outdir", default="/tmp/pt_trace")
+    ap.add_argument("--mode", default="train", choices=["train", "infer"])
     args = ap.parse_args()
 
     import jax
@@ -72,15 +73,28 @@ def main() -> None:
                        gen_type="baseline", training_ratio=1,
                        compute_dtype=jnp.bfloat16)
     state, gen, disc = create_state(config, seed=0)
-    step = jax.jit(make_train_step(config, gen, disc), donate_argnums=(0,))
 
     rng = np.random.default_rng(0)
     mk = lambda: synthetic_compact_batch(  # noqa: E731
         rng, config.batch_size, config.image_size, config.pose_dim,
         warp_skip=config.warp_skip)
-    fake = jax.device_put({k: v[None] for k, v in mk().items()})
-    real = jax.device_put({k: v[None] for k, v in mk().items()})
-    gen_batch = jax.device_put(mk())
+
+    if args.mode == "infer":
+        from pose_transfer_tpu.train.engine import make_eval_step
+        eval_step = make_eval_step(config, gen)
+        raw = jax.device_put(mk())
+
+        def step(state, *_):
+            out, _b = eval_step(state.gen_params, raw)
+            return state, {"gen": jnp.zeros(3)}, out
+        fake = real = gen_batch = None
+        lower_args = None
+    else:
+        step = jax.jit(make_train_step(config, gen, disc),
+                       donate_argnums=(0,))
+        fake = jax.device_put({k: v[None] for k, v in mk().items()})
+        real = jax.device_put({k: v[None] for k, v in mk().items()})
+        gen_batch = jax.device_put(mk())
 
     for _ in range(6):  # compile + tunnel warmup
         state, metrics, _ = step(state, fake, real, gen_batch)
@@ -161,8 +175,11 @@ def main() -> None:
 
     # attribution: join trace op names with the compiled HLO's per-op
     # source metadata (trace events carry none through the axon tunnel)
-    hlo = jax.jit(make_train_step(config, gen, disc)).lower(
-        state, fake, real, gen_batch).compile().as_text()
+    if args.mode == "infer":
+        hlo = eval_step.lower(state.gen_params, raw).compile().as_text()
+    else:
+        hlo = jax.jit(make_train_step(config, gen, disc)).lower(
+            state, fake, real, gen_batch).compile().as_text()
     op_src = {}
     for mm in re.finditer(
             r"%([\w.-]+) = [^\n]*?metadata=\{[^}]*?op_name=\"([^\"]*)\""
