@@ -91,6 +91,12 @@ class Opts:
         p.add_argument("--prefetch", default=1, type=int,
                        help="device prefetch depth for the input pipeline")
         p.add_argument("--seed", default=0, type=int)
+        p.add_argument("--serve_host", default="127.0.0.1",
+                       help="bind address for cli.serve")
+        p.add_argument("--serve_port", default=8710, type=int,
+                       help="port for cli.serve (0 = ephemeral)")
+        p.add_argument("--max_wait_ms", default=5.0, type=float,
+                       help="serving micro-batch admission window")
         p.add_argument("--vgg_weights", default=None,
                        help="torch VGG19 state_dict path for content loss")
         p.add_argument("--vgg_preprocess", default="correct",

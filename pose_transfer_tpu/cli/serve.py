@@ -1,0 +1,125 @@
+"""Inference serving driver: HTTP front-end over ``serve.PoseTransferServer``.
+
+The reference ships only the offline batch driver (src_deformable/test.py);
+this adds an online serving surface (stdlib-only, no extra dependencies):
+
+  POST /generate   body: .npz with ``image`` (H, W, 3) uint8,
+                   ``kp_from``/``kp_to`` (K, 2) float (y, x), -1 = missing
+                   → .npz with ``image`` (H, W, 3) uint8 (the render)
+  GET  /stats      JSON latency/throughput counters
+  GET  /healthz    200 once the model is warm
+
+Concurrent requests are micro-batched into fixed-shape device programs
+(see ``pose_transfer_tpu.serve``). Run:
+
+  python -m pose_transfer_tpu.cli.serve --expID <exp> --resume 1 \\
+      --dataset fasion --pose_dim 18 [--port 8710] [--max_wait_ms 5]
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from ..serve import PoseTransferServer
+from ..train import GANConfig, checkpoint, create_state
+from .opts import Opts
+
+
+def build_server(opt) -> PoseTransferServer:
+    config = GANConfig.from_opt(opt)
+    if opt.compute_dtype == "bfloat16":
+        import dataclasses
+
+        import jax.numpy as jnp
+        config = dataclasses.replace(config, compute_dtype=jnp.bfloat16)
+    state, gen, _ = create_state(config, seed=opt.seed)
+    if opt.generator_checkpoint:
+        state = state.replace(gen_params=checkpoint.load_params(
+            opt.generator_checkpoint, state.gen_params))
+    elif opt.resume:
+        state, epoch = checkpoint.resume(state, opt.checkpoints_dir)
+        print(f"Serving epoch-{epoch} weights")
+    return PoseTransferServer(config, gen, state.gen_params,
+                              max_wait_ms=opt.max_wait_ms)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "pose-transfer-tpu/1.0"
+    pts: PoseTransferServer = None  # class attr, set by make_http_server
+
+    def log_message(self, *args):  # quiet
+        pass
+
+    def _send(self, code: int, body: bytes, ctype: str):
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            self._send(200, b"ok", "text/plain")
+        elif self.path == "/stats":
+            self._send(200, json.dumps(self.pts.stats()).encode(),
+                       "application/json")
+        else:
+            self._send(404, b"not found", "text/plain")
+
+    def do_POST(self):
+        if self.path != "/generate":
+            self._send(404, b"not found", "text/plain")
+            return
+        try:
+            n = int(self.headers.get("Content-Length", "0"))
+            with np.load(io.BytesIO(self.rfile.read(n))) as z:
+                image = z["image"]
+                kp_from = z["kp_from"]
+                kp_to = z["kp_to"]
+            out = self.pts.submit(image, kp_from, kp_to).result(timeout=120)
+            out_u8 = ((np.clip(out, -1.0, 1.0) + 1.0) * 127.5).astype(
+                np.uint8)
+            buf = io.BytesIO()
+            np.savez_compressed(buf, image=out_u8)
+            self._send(200, buf.getvalue(), "application/octet-stream")
+        except Exception as e:  # report request errors as 400s
+            self._send(400, str(e).encode(), "text/plain")
+
+
+def make_http_server(pts: PoseTransferServer, host: str = "127.0.0.1",
+                     port: int = 8710) -> ThreadingHTTPServer:
+    handler = type("Handler", (_Handler,), {"pts": pts})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def main(argv=None):
+    opt = Opts().parse(argv)
+    from ..utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    pts = build_server(opt)
+    # warm the executable so the first request doesn't pay the compile
+    h, w = GANConfig.from_opt(opt).image_size
+    k = opt.pose_dim
+    dummy_kp = np.stack([np.linspace(4, h - 4, k),
+                         np.linspace(4, w - 4, k)], 1).astype(np.float32)
+    pts.generate([(np.zeros((h, w, 3), np.uint8), dummy_kp, dummy_kp)])
+    pts.reset_stats()  # exclude the compile from latency percentiles
+    httpd = make_http_server(pts, opt.serve_host, opt.serve_port)
+    print(f"Serving on http://{opt.serve_host}:{httpd.server_address[1]} "
+          f"(POST /generate, GET /stats)")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+        pts.close()
+
+
+if __name__ == "__main__":
+    main()

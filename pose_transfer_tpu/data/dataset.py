@@ -122,48 +122,13 @@ class PoseTransferDataset:
     # ------------------------------------------------------------ warp fits
 
     def _warp_fit(self, kp1: np.ndarray, kp2: np.ndarray):
-        """(warps, polys, kinds) for one ordered keypoint pair."""
-        if self.warp_skip == "mask":
-            warps = th.affine_transforms(kp1, kp2, self.pose_dim)
-            polys, kinds = th.pose_mask_polys(kp2, self.image_size,
-                                              self.pose_dim)
-        else:
-            warps = th.estimate_uniform_transform(
-                kp1, kp2, self.pose_dim)[:, :8]
-            polys = np.zeros((1, 4, 2), np.float32)
-            kinds = np.zeros((1,), np.int32)  # kind 0 = all-ones
-        return (warps.astype(np.float32), polys.astype(np.float32),
-                kinds.astype(np.int32))
+        return warp_fit(kp1, kp2, self.pose_dim, self.image_size,
+                        self.warp_skip)
 
     def _interpol_chain(self, kp_from: np.ndarray, kp_to: np.ndarray):
-        """Interpolated poses + chained per-stage warps for the stacked arch.
-
-        Matches PoseTransfer_Dataset.py:112-158: poses and warps derive from
-        heatmap-decoded keypoints; warps chain pose i-1 → i over the list
-        [input] + interpolated, yielding num_stacks+1 entries.
-        """
-        s = self.num_stacks
-        kp_from_p = ann.project_keypoints(kp_from, self.image_size)
-        kp_to_p = ann.project_keypoints(kp_to, self.image_size)
-
-        interpol = []
-        for i in range(1, s + 1):
-            kp_i = ann.interpolate_keypoints_host(
-                kp_from_p, kp_to_p, i, s, self.pose_dim)
-            interpol.append(kp_i)
-
-        chain = [kp_from_p] + [ann.project_keypoints(k, self.image_size)
-                               for k in interpol]
-        warps, polys, kinds = [], [], []
-        prev = chain[0]
-        for kp in chain:
-            w, p, k = self._warp_fit(prev, kp)
-            warps.append(w)
-            polys.append(p)
-            kinds.append(k)
-            prev = kp
-        return (np.stack(interpol).astype(np.float32), np.stack(warps),
-                np.stack(polys), np.stack(kinds))
+        return interpol_chain(kp_from, kp_to, self.pose_dim,
+                              self.image_size, self.warp_skip,
+                              self.num_stacks)
 
     # ------------------------------------------------------------- samples
 
@@ -256,3 +221,53 @@ class PoseTransferDataset:
 def collate(samples: list[dict]) -> dict:
     """Stack compact samples into one numpy batch dict."""
     return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
+def warp_fit(kp1: np.ndarray, kp2: np.ndarray, pose_dim: int,
+             image_size: tuple[int, int], warp_skip: str):
+    """(warps, polys, kinds) for one ordered keypoint pair.
+
+    Module-level so non-dataset surfaces (the inference server) share the
+    exact per-pair estimation the training pipeline uses.
+    """
+    if warp_skip == "mask":
+        warps = th.affine_transforms(kp1, kp2, pose_dim)
+        polys, kinds = th.pose_mask_polys(kp2, image_size, pose_dim)
+    else:
+        warps = th.estimate_uniform_transform(kp1, kp2, pose_dim)[:, :8]
+        polys = np.zeros((1, 4, 2), np.float32)
+        kinds = np.zeros((1,), np.int32)  # kind 0 = all-ones
+    return (warps.astype(np.float32), polys.astype(np.float32),
+            kinds.astype(np.int32))
+
+
+def interpol_chain(kp_from: np.ndarray, kp_to: np.ndarray, pose_dim: int,
+                   image_size: tuple[int, int], warp_skip: str,
+                   num_stacks: int):
+    """Interpolated poses + chained per-stage warps for the stacked arch.
+
+    Matches PoseTransfer_Dataset.py:112-158: poses and warps derive from
+    heatmap-decoded keypoints; warps chain pose i-1 → i over the list
+    [input] + interpolated, yielding num_stacks+1 entries.
+    """
+    kp_from_p = ann.project_keypoints(kp_from, image_size)
+    kp_to_p = ann.project_keypoints(kp_to, image_size)
+
+    interpol = []
+    for i in range(1, num_stacks + 1):
+        kp_i = ann.interpolate_keypoints_host(
+            kp_from_p, kp_to_p, i, num_stacks, pose_dim)
+        interpol.append(kp_i)
+
+    chain = [kp_from_p] + [ann.project_keypoints(k, image_size)
+                           for k in interpol]
+    warps, polys, kinds = [], [], []
+    prev = chain[0]
+    for kp in chain:
+        w, p, k = warp_fit(prev, kp, pose_dim, image_size, warp_skip)
+        warps.append(w)
+        polys.append(p)
+        kinds.append(k)
+        prev = kp
+    return (np.stack(interpol).astype(np.float32), np.stack(warps),
+            np.stack(polys), np.stack(kinds))

@@ -1,0 +1,194 @@
+"""TPU-native micro-batching inference server.
+
+The reference has no serving layer (SURVEY.md §1 — its only inference
+surface is the offline batch driver ``test.py``, src_deformable/test.py:
+25-54). This module adds the serving counterpart for production use:
+
+- **Static-shape micro-batching**: requests accumulate into fixed
+  ``batch_size`` programs; partial batches are padded by repeating the last
+  request. The compiled step never sees a new shape, so there are no
+  shape-dependent recompiles — the TPU serving pattern (XLA compiles once,
+  every request rides the same executable).
+- **Admission window**: the batcher dispatches when a batch fills or
+  ``max_wait_ms`` expires, bounding added latency under low load while
+  reaching full-batch throughput under high load.
+- **Per-request futures** (``submit``) and a synchronous convenience
+  (``generate``); p50/p95 latency and throughput counters (``stats``).
+
+Request contract: the caller provides a source image (uint8 HWC at the
+config's image size), its keypoints, and the target keypoints — the same
+(K, 2) (y, x) MISSING_VALUE=-1 convention as the annotation CSVs. The
+server runs the identical host-side estimation the training pipeline uses
+(``data.dataset.warp_fit`` / ``interpol_chain``) and the jitted eval step
+(in-graph heatmap/mask rasterization + generator forward).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+
+import numpy as np
+
+from .data.dataset import collate, interpol_chain, warp_fit
+from .train.engine import make_eval_step
+
+
+class PoseTransferServer:
+    """Persistent batched pose-transfer generator.
+
+    Args:
+      config: ``GANConfig`` (image_size/pose_dim/batch_size/gen_type/...).
+      gen: the generator flax module (from ``create_state``/``build_models``).
+      gen_params: trained generator params.
+      max_wait_ms: admission window for partial batches.
+      queue_depth: max queued requests before ``submit`` blocks.
+    """
+
+    def __init__(self, config, gen, gen_params, *, max_wait_ms: float = 5.0,
+                 queue_depth: int = 256):
+        self._config = config
+        self._params = gen_params
+        self._eval = make_eval_step(config, gen)
+        self._q: queue.Queue = queue.Queue(maxsize=queue_depth)
+        self._stop = threading.Event()
+        self._max_wait = max_wait_ms / 1e3
+        self._lock = threading.Lock()
+        self._latencies: list[float] = []
+        self._served = 0
+        self._batches = 0
+        self._t0 = time.time()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------- requests
+
+    def prepare_request(self, image: np.ndarray, kp_from: np.ndarray,
+                        kp_to: np.ndarray) -> dict:
+        """Host-side sample assembly: per-pair affine estimation, compact
+        layout. ``image_to`` is zero — the target is unknown at serving time
+        and only feeds the (unused) reconstruction target slot."""
+        cfg = self._config
+        image = np.ascontiguousarray(image, np.uint8)
+        if image.shape != (*cfg.image_size, 3):
+            raise ValueError(
+                f"image must be {(*cfg.image_size, 3)} uint8, "
+                f"got {image.shape}")
+        kp_from = np.asarray(kp_from, np.float32)
+        kp_to = np.asarray(kp_to, np.float32)
+        sample = {
+            "image_from": image,
+            "image_to": np.zeros_like(image),
+            "kp_from": kp_from,
+            "kp_to": kp_to,
+        }
+        if cfg.gen_type == "baseline":
+            warps, polys, kinds = warp_fit(
+                kp_from, kp_to, cfg.pose_dim, cfg.image_size, cfg.warp_skip)
+            sample.update(warps=warps, mask_polys=polys, mask_kinds=kinds)
+        else:
+            interpol, warps, polys, kinds = interpol_chain(
+                kp_from, kp_to, cfg.pose_dim, cfg.image_size, cfg.warp_skip,
+                cfg.num_stacks)
+            sample.update(interpol_kp=interpol, interpol_warps=warps,
+                          interpol_polys=polys, interpol_kinds=kinds)
+        return sample
+
+    def submit(self, image: np.ndarray, kp_from: np.ndarray,
+               kp_to: np.ndarray) -> Future:
+        """Enqueue one request; resolves to the generated (H, W, 3) float32
+        image in [-1, 1]."""
+        if self._stop.is_set():
+            raise RuntimeError("server is closed")
+        fut: Future = Future()
+        sample = self.prepare_request(image, kp_from, kp_to)
+        self._q.put((sample, fut, time.perf_counter()))
+        return fut
+
+    def generate(self, requests: list[tuple[np.ndarray, np.ndarray,
+                                            np.ndarray]]) -> np.ndarray:
+        """Synchronous batch convenience: list of (image, kp_from, kp_to)."""
+        futs = [self.submit(*r) for r in requests]
+        return np.stack([f.result() for f in futs])
+
+    # ------------------------------------------------------------- batcher
+
+    def _loop(self):
+        bs = self._config.batch_size
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            items = [first]
+            deadline = time.perf_counter() + self._max_wait
+            while len(items) < bs:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    items.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            try:
+                self._run_batch(items)
+            except Exception as e:  # surface the failure on every future
+                for _, fut, _ in items:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+    def _run_batch(self, items):
+        bs = self._config.batch_size
+        samples = [s for s, _, _ in items]
+        # static-shape pad: repeat the last sample; padded outputs dropped
+        samples = samples + [samples[-1]] * (bs - len(samples))
+        out, _ = self._eval(self._params, collate(samples))
+        out_np = np.asarray(out[:len(items)], np.float32)
+        done = time.perf_counter()
+        with self._lock:
+            self._served += len(items)
+            self._batches += 1
+            for _, _, t_in in items:
+                self._latencies.append(done - t_in)
+            del self._latencies[:-1024]  # keep a recent window
+        for (_, fut, _), img in zip(items, out_np):
+            fut.set_result(img)
+
+    # --------------------------------------------------------------- admin
+
+    def reset_stats(self):
+        """Zero the counters (drivers call this after the warm-up request so
+        compile time doesn't pollute serving latency percentiles)."""
+        with self._lock:
+            self._latencies.clear()
+            self._served = 0
+            self._batches = 0
+            self._t0 = time.time()
+
+    def stats(self) -> dict:
+        with self._lock:
+            lat = sorted(self._latencies)
+            served, batches = self._served, self._batches
+        pct = lambda p: (lat[min(int(p * len(lat)), len(lat) - 1)]  # noqa
+                         if lat else 0.0)
+        elapsed = max(time.time() - self._t0, 1e-9)
+        return {
+            "served": served,
+            "batches": batches,
+            "mean_batch_fill": served / batches if batches else 0.0,
+            "latency_p50_ms": round(pct(0.50) * 1e3, 2),
+            "latency_p95_ms": round(pct(0.95) * 1e3, 2),
+            "images_per_sec": round(served / elapsed, 2),
+        }
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=5.0)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
