@@ -37,6 +37,14 @@ def build_server(opt) -> PoseTransferServer:
 
         import jax.numpy as jnp
         config = dataclasses.replace(config, compute_dtype=jnp.bfloat16)
+    mesh = None
+    if opt.num_devices != 1:
+        import jax
+
+        from ..parallel import make_mesh
+        n = opt.num_devices or len(jax.devices())
+        if n > 1 and config.batch_size % n == 0:
+            mesh = make_mesh(n)
     state, gen, _ = create_state(config, seed=opt.seed)
     if opt.generator_checkpoint:
         state = state.replace(gen_params=checkpoint.load_params(
@@ -45,7 +53,7 @@ def build_server(opt) -> PoseTransferServer:
         state, epoch = checkpoint.resume(state, opt.checkpoints_dir)
         print(f"Serving epoch-{epoch} weights")
     return PoseTransferServer(config, gen, state.gen_params,
-                              max_wait_ms=opt.max_wait_ms)
+                              max_wait_ms=opt.max_wait_ms, mesh=mesh)
 
 
 class _Handler(BaseHTTPRequestHandler):

@@ -45,13 +45,30 @@ class PoseTransferServer:
       gen_params: trained generator params.
       max_wait_ms: admission window for partial batches.
       queue_depth: max queued requests before ``submit`` blocks.
+      mesh: optional ``jax.sharding.Mesh`` — serve data-parallel: params
+        replicated, each micro-batch sharded over the mesh's devices
+        (``batch_size`` must divide evenly). Numerics equal to
+        single-device (tests/test_serve.py).
     """
 
     def __init__(self, config, gen, gen_params, *, max_wait_ms: float = 5.0,
-                 queue_depth: int = 256):
+                 queue_depth: int = 256, mesh=None):
         self._config = config
-        self._params = gen_params
-        self._eval = make_eval_step(config, gen)
+        if mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from .parallel import make_parallel_eval_step
+            if config.batch_size % mesh.devices.size:
+                raise ValueError(
+                    f"batch_size {config.batch_size} must divide over "
+                    f"{mesh.devices.size} mesh devices")
+            self._params = jax.device_put(
+                gen_params, NamedSharding(mesh, PartitionSpec()))
+            self._eval = make_parallel_eval_step(config, gen, mesh)
+        else:
+            self._params = gen_params
+            self._eval = make_eval_step(config, gen)
         self._q: queue.Queue = queue.Queue(maxsize=queue_depth)
         self._stop = threading.Event()
         self._max_wait = max_wait_ms / 1e3

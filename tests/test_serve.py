@@ -141,3 +141,31 @@ def test_http_roundtrip():
                 assert e.code == 400
         finally:
             httpd.shutdown()
+
+
+def test_serve_mesh_matches_single_device():
+    """Data-parallel serving over the 8-device CPU mesh must match the
+    single-device server's outputs."""
+    import jax
+
+    from pose_transfer_tpu.parallel import make_mesh
+
+    assert len(jax.devices()) == 8
+    config = _config(batch_size=8)
+    state, gen, _ = create_state(config, seed=0)
+    reqs = _requests(config, 5, seed=4)  # partial batch over the mesh
+    with PoseTransferServer(config, gen, state.gen_params) as single:
+        out1 = single.generate(reqs)
+    with PoseTransferServer(config, gen, state.gen_params,
+                            mesh=make_mesh(8)) as sharded:
+        out8 = sharded.generate(reqs)
+    np.testing.assert_allclose(out1, out8, atol=1e-5)
+
+
+def test_serve_mesh_rejects_indivisible_batch():
+    from pose_transfer_tpu.parallel import make_mesh
+
+    config = _config(batch_size=2)
+    state, gen, _ = create_state(config, seed=0)
+    with pytest.raises(ValueError):
+        PoseTransferServer(config, gen, state.gen_params, mesh=make_mesh(8))
