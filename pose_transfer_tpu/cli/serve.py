@@ -53,7 +53,8 @@ def build_server(opt) -> PoseTransferServer:
         state, epoch = checkpoint.resume(state, opt.checkpoints_dir)
         print(f"Serving epoch-{epoch} weights")
     return PoseTransferServer(config, gen, state.gen_params,
-                              max_wait_ms=opt.max_wait_ms, mesh=mesh)
+                              max_wait_ms=opt.max_wait_ms, mesh=mesh,
+                              output_dtype="uint8")
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -90,10 +91,11 @@ class _Handler(BaseHTTPRequestHandler):
                 kp_from = z["kp_from"]
                 kp_to = z["kp_to"]
             out = self.pts.submit(image, kp_from, kp_to).result(timeout=120)
-            out_u8 = ((np.clip(out, -1.0, 1.0) + 1.0) * 127.5).astype(
-                np.uint8)
+            if out.dtype != np.uint8:  # float-output server configs
+                out = ((np.clip(out, -1.0, 1.0) + 1.0) * 127.5).astype(
+                    np.uint8)
             buf = io.BytesIO()
-            np.savez_compressed(buf, image=out_u8)
+            np.savez_compressed(buf, image=out)
             self._send(200, buf.getvalue(), "application/octet-stream")
         except Exception as e:  # report request errors as 400s
             self._send(400, str(e).encode(), "text/plain")

@@ -46,7 +46,14 @@ def make_batch_preparer(*, image_size: tuple[int, int], pose_dim: int,
 
     def prepare(batch: dict) -> dict:
         img_from = pose_ops.preprocess_image(batch["image_from"]).astype(dtype)
-        img_to = pose_ops.preprocess_image(batch["image_to"]).astype(dtype)
+        if "image_to" in batch:
+            img_to = pose_ops.preprocess_image(
+                batch["image_to"]).astype(dtype)
+        else:
+            # serving: no ground-truth target exists; the slot only feeds
+            # the (unused) reconstruction target. Built in-graph so the
+            # request never ships target-image bytes host→device.
+            img_to = jnp.full_like(img_from, -1.0)
         inp_map = _heatmaps(batch["kp_from"], image_size).astype(dtype)
         tg_map = _heatmaps(batch["kp_to"], image_size).astype(dtype)
 

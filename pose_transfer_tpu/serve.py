@@ -49,10 +49,25 @@ class PoseTransferServer:
         replicated, each micro-batch sharded over the mesh's devices
         (``batch_size`` must divide evenly). Numerics equal to
         single-device (tests/test_serve.py).
+      output_dtype: 'float32' (generator output in [-1, 1]) or 'uint8'
+        (deprocessed ON DEVICE before the host fetch — 4× less
+        device→host traffic per response; with the no-target-bytes request
+        path, measured 27.7 → 40.4 img/s end-to-end 256² serving through
+        this environment's ~27 MB/s tunnel, p50 541 → 317 ms at 16
+        clients; tools/bench_serve.py).
     """
 
     def __init__(self, config, gen, gen_params, *, max_wait_ms: float = 5.0,
-                 queue_depth: int = 256, mesh=None):
+                 queue_depth: int = 256, mesh=None,
+                 output_dtype: str = "float32"):
+        if output_dtype not in ("float32", "uint8"):
+            raise ValueError(f"unknown output_dtype {output_dtype!r}")
+        self._output_dtype = output_dtype
+        import jax
+        import jax.numpy as jnp
+        self._post = jax.jit(
+            lambda x: ((jnp.clip(x.astype(jnp.float32), -1.0, 1.0) + 1.0)
+                       * 127.5).astype(jnp.uint8))
         self._config = config
         if mesh is not None:
             import jax
@@ -85,8 +100,9 @@ class PoseTransferServer:
     def prepare_request(self, image: np.ndarray, kp_from: np.ndarray,
                         kp_to: np.ndarray) -> dict:
         """Host-side sample assembly: per-pair affine estimation, compact
-        layout. ``image_to`` is zero — the target is unknown at serving time
-        and only feeds the (unused) reconstruction target slot."""
+        layout. No ``image_to``: the target is unknown at serving time, so
+        the preparer substitutes the blank target in-graph and the request
+        never ships those bytes host→device (data/device.py)."""
         cfg = self._config
         image = np.ascontiguousarray(image, np.uint8)
         if image.shape != (*cfg.image_size, 3):
@@ -97,7 +113,6 @@ class PoseTransferServer:
         kp_to = np.asarray(kp_to, np.float32)
         sample = {
             "image_from": image,
-            "image_to": np.zeros_like(image),
             "kp_from": kp_from,
             "kp_to": kp_to,
         }
@@ -115,8 +130,8 @@ class PoseTransferServer:
 
     def submit(self, image: np.ndarray, kp_from: np.ndarray,
                kp_to: np.ndarray) -> Future:
-        """Enqueue one request; resolves to the generated (H, W, 3) float32
-        image in [-1, 1]."""
+        """Enqueue one request; resolves to the generated (H, W, 3) image —
+        float32 in [-1, 1], or uint8 when ``output_dtype='uint8'``."""
         if self._stop.is_set():
             raise RuntimeError("server is closed")
         fut: Future = Future()
@@ -162,7 +177,10 @@ class PoseTransferServer:
         # static-shape pad: repeat the last sample; padded outputs dropped
         samples = samples + [samples[-1]] * (bs - len(samples))
         out, _ = self._eval(self._params, collate(samples))
-        out_np = np.asarray(out[:len(items)], np.float32)
+        if self._output_dtype == "uint8":
+            out_np = np.asarray(self._post(out)[:len(items)])
+        else:
+            out_np = np.asarray(out[:len(items)], np.float32)
         done = time.perf_counter()
         with self._lock:
             self._served += len(items)

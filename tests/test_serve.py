@@ -169,3 +169,19 @@ def test_serve_mesh_rejects_indivisible_batch():
     state, gen, _ = create_state(config, seed=0)
     with pytest.raises(ValueError):
         PoseTransferServer(config, gen, state.gen_params, mesh=make_mesh(8))
+
+
+def test_serve_uint8_output_matches_float():
+    """On-device deprocess (output_dtype='uint8') must match the host-side
+    conversion of the float output to within one quantization step."""
+    config = _config()
+    state, gen, _ = create_state(config, seed=0)
+    reqs = _requests(config, 2, seed=5)
+    with PoseTransferServer(config, gen, state.gen_params) as f32srv:
+        ref = f32srv.generate(reqs)
+    with PoseTransferServer(config, gen, state.gen_params,
+                            output_dtype="uint8") as u8srv:
+        u8 = u8srv.generate(reqs)
+    assert u8.dtype == np.uint8
+    exp = ((np.clip(ref, -1, 1) + 1) * 127.5).astype(np.uint8)
+    assert np.abs(u8.astype(np.int32) - exp.astype(np.int32)).max() <= 1
