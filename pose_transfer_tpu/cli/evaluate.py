@@ -33,24 +33,32 @@ def evaluate(opt, max_batches: int | None = None) -> dict:
     state, epoch = checkpoint.resume(state, opt.checkpoints_dir)
     eval_step = make_eval_step(config, gen)
 
-    metric = jax.jit(lambda a, b: (ssim(a, b),
-                                   jnp.mean(jnp.abs(a - b))))
+    def _metrics(a, b):
+        # images are [-1, 1]: PSNR over the [0, 1] remap (peak 1.0), the
+        # convention fid/eval suites use for generated imagery
+        mse = jnp.mean(jnp.square((a - b) * 0.5))
+        psnr = -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))
+        return ssim(a, b), jnp.mean(jnp.abs(a - b)), psnr
+
+    metric = jax.jit(_metrics)
     n_batches = len(dataset) // config.batch_size
     if max_batches:
         n_batches = min(n_batches, max_batches)
-    ssims, l1s = [], []
+    ssims, l1s, psnrs = [], [], []
     for b in range(n_batches):
         batch = collate([dataset[b * config.batch_size + i]
                          for i in range(config.batch_size)])
         out, prepared = eval_step(state.gen_params, batch)
-        s, l1 = metric(out.astype(jnp.float32),
-                       prepared["target"].astype(jnp.float32))
+        s, l1, p = metric(out.astype(jnp.float32),
+                          prepared["target"].astype(jnp.float32))
         ssims.append(float(s))
         l1s.append(float(l1))
+        psnrs.append(float(p))
     return {
         "metric": "test_ssim",
         "value": round(float(np.mean(ssims)), 5),
         "l1": round(float(np.mean(l1s)), 5),
+        "psnr": round(float(np.mean(psnrs)), 3),
         "epoch": epoch,
         "num_batches": n_batches,
     }

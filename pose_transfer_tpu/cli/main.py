@@ -207,7 +207,11 @@ def main(argv=None):
         if epoch % opt.checkpoint_ratio == 0:
             from ..parallel import unreplicate_state
             to_save = unreplicate_state(state) if mesh is not None else state
-            checkpoint.save(to_save, opt.checkpoints_dir, epoch)
+            # async: snapshot on device, fetch+write in the background —
+            # training keeps stepping through the (slow) host fetch
+            checkpoint.save(to_save, opt.checkpoints_dir, epoch,
+                            block=False)
+    checkpoint.wait_for_saves()
 
 
 def _save_samples(opt, config, gen_batch, out, eval_step, state,

@@ -11,7 +11,13 @@ on purpose:
   state_dicts);
 - writes are atomic (tmp file + rename), so a preempted save can't corrupt
   the latest checkpoint — the failure-recovery story the reference lacked
-  (SURVEY.md §5).
+  (SURVEY.md §5);
+- ``save(..., block=False)`` runs the device→host fetch + serialization +
+  write on a background thread so the train loop keeps stepping (the
+  reference's ``torch.save`` blocked; here a 256² state is ~1 GB of
+  device→host traffic — ~40 s through this environment's tunnel). The
+  train step's donated buffers are safe: the fetch snapshot
+  (``jax.device_get``) happens synchronously before the thread starts.
 
 Serialization is flax msgpack; files are ``<key>_{epoch:03d}.msgpack``.
 """
@@ -19,6 +25,7 @@ Serialization is flax msgpack; files are ``<key>_{epoch:03d}.msgpack``.
 from __future__ import annotations
 
 import os
+import threading
 
 import jax
 from flax import serialization
@@ -50,28 +57,60 @@ def _write_atomic(path: str, data: bytes) -> None:
     os.replace(tmp, path)
 
 
-def save(state, save_dir: str, epoch: int) -> None:
-    """Write gen/disc checkpoint pair for ``epoch`` (pose_gan.py:216-220).
-
-    The gen file carries generator params + optimizer state + step + rng;
-    the disc file carries discriminator params + optimizer state.
-    """
-    os.makedirs(save_dir, exist_ok=True)
-    state = jax.device_get(state)
+def _write_state(host_state, save_dir: str, epoch: int) -> None:
     gen_blob = serialization.to_bytes({
-        "params": state.gen_params,
-        "opt_state": state.gen_opt_state,
-        "step": state.step,
-        "rng": state.rng,
+        "params": host_state.gen_params,
+        "opt_state": host_state.gen_opt_state,
+        "step": host_state.step,
+        "rng": host_state.rng,
     })
     disc_blob = serialization.to_bytes({
-        "params": state.disc_params,
-        "opt_state": state.disc_opt_state,
+        "params": host_state.disc_params,
+        "opt_state": host_state.disc_opt_state,
     })
     _write_atomic(os.path.join(save_dir, f"gen_{epoch:03d}.msgpack"),
                   gen_blob)
     _write_atomic(os.path.join(save_dir, f"disc_{epoch:03d}.msgpack"),
                   disc_blob)
+
+
+_pending_saves: list[threading.Thread] = []
+
+
+def save(state, save_dir: str, epoch: int, *, block: bool = True) -> None:
+    """Write gen/disc checkpoint pair for ``epoch`` (pose_gan.py:216-220).
+
+    The gen file carries generator params + optimizer state + step + rng;
+    the disc file carries discriminator params + optimizer state.
+
+    ``block=False``: snapshot the state with a device-side copy (cheap —
+    HBM bandwidth), then fetch + serialize + write on a background thread.
+    The snapshot is essential for correctness, not just speed: the train
+    loop's next step DONATES the live state buffers, so a concurrent
+    host fetch of the originals would read deleted arrays.
+    """
+    os.makedirs(save_dir, exist_ok=True)
+    if block:
+        _write_state(jax.device_get(state), save_dir, epoch)
+        return
+    snap = jax.tree.map(
+        lambda x: jax.numpy.copy(x) if isinstance(x, jax.Array) else x,
+        state)
+
+    def _job():
+        _write_state(jax.device_get(snap), save_dir, epoch)
+
+    t = threading.Thread(target=_job, daemon=True)
+    t.start()
+    _pending_saves[:] = [p for p in _pending_saves if p.is_alive()]
+    _pending_saves.append(t)
+
+
+def wait_for_saves(timeout: float | None = None) -> None:
+    """Join outstanding async saves (drivers call this before exiting)."""
+    for t in list(_pending_saves):
+        t.join(timeout)
+    _pending_saves[:] = [p for p in _pending_saves if p.is_alive()]
 
 
 def resume(state, save_dir: str):

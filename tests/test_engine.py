@@ -219,3 +219,30 @@ def test_fixed_seed_step_golden():
         np.asarray(m["gen"]), [74.523773, 73.384346, 1.139425], rtol=1e-3)
     np.testing.assert_allclose(
         np.asarray(m["disc"]), [1.227888, 0.607519, 0.620369], rtol=1e-3)
+
+
+def test_checkpoint_async_save_matches_blocking(tmp_path):
+    """block=False must write byte-identical checkpoints, and the device
+    snapshot must survive the next step DONATING the live state buffers."""
+    config = small_config()
+    state, gen, disc = create_state(config, seed=0)
+    step = jax.jit(make_train_step(config, gen, disc), donate_argnums=(0,))
+    rng = np.random.default_rng(0)
+
+    def draw():
+        fake, real, gen_b = _draws(rng, config, 3)
+        return _stack([fake]), _stack([real]), gen_b
+
+    state, _, _ = step(state, *draw())
+
+    checkpoint.save(state, str(tmp_path / "sync"), epoch=3)
+    checkpoint.save(state, str(tmp_path / "async"), epoch=3, block=False)
+    # donate the state away while the async fetch may still be in flight
+    state, _, _ = step(state, *draw())
+    jax.block_until_ready(state)
+    checkpoint.wait_for_saves()
+
+    for name in ("gen_003.msgpack", "disc_003.msgpack"):
+        a = (tmp_path / "sync" / name).read_bytes()
+        b = (tmp_path / "async" / name).read_bytes()
+        assert a == b, f"{name} differs between sync and async save"
