@@ -9,7 +9,8 @@ arXiv 1801.00055), designed TPU-first:
   in-graph (XLA / Pallas) instead of the reference's host-side numpy/skimage
 - a single jitted two-phase GAN train step (disc + gen) with optax Adam
 - data-parallel scaling via ``jax.sharding.Mesh`` + NamedSharding over ICI
-- orbax checkpointing, SSIM eval, CLI parity with the reference's flags
+- atomic/async checkpointing, SSIM/PSNR eval, CLI parity with the
+  reference's flags, and an online micro-batching inference server
 
 Layering (mirrors SURVEY.md §1):
   core/      L0 pose geometry (device + host halves)
@@ -18,7 +19,8 @@ Layering (mirrors SURVEY.md §1):
   train/     L4 GAN engine (losses, train step, checkpointing)
   data/      L1 dataset + pair tools + prefetch loader
   parallel/  device mesh + sharded train step
-  cli/       L5 flag-compatible drivers (main/test/opts)
+  cli/       L5 flag-compatible drivers (main/test/serve/opts)
+  serve.py   static-shape micro-batching inference server
   utils/     visualization (pose drawing, sample grids)
 """
 
