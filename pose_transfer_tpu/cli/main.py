@@ -31,7 +31,7 @@ from ..data import PoseTransferDataset, sample_stream
 from ..train import GANConfig, checkpoint, create_state, make_eval_step, \
     make_train_step
 from ..utils import display, display_stacked, save_image
-from .opts import Opts
+from .opts import Opts, config_from_opt, mesh_from_opt
 
 
 def _stack_batches(batches: list[dict]) -> dict:
@@ -55,21 +55,10 @@ def main(argv=None):
     for k, v in sorted(vars(opt).items()):
         print("  %s: %s" % (str(k), str(v)))
 
-    config = GANConfig.from_opt(opt)
-    if opt.compute_dtype == "bfloat16":
-        import dataclasses
-        import jax.numpy as jnp
-        config = dataclasses.replace(config, compute_dtype=jnp.bfloat16)
-
+    config = config_from_opt(opt)
     dataset_train = PoseTransferDataset(vars(opt), "train")
     dataset_test = PoseTransferDataset(vars(opt), "test")
-
-    mesh = None
-    if opt.num_devices != 1:
-        from ..parallel import make_mesh
-        n = opt.num_devices or len(jax.devices())
-        if n > 1 and config.batch_size % n == 0:
-            mesh = make_mesh(n)
+    mesh = mesh_from_opt(opt, config)
 
     vgg_params = None
     if config.content_loss_layer != "none" and opt.vgg_weights:
@@ -141,8 +130,25 @@ def main(argv=None):
     profile_remaining = opt.profile_steps
     profiling = False
 
+    try:
+        _train_epochs(opt, config, state, mesh, train_step, eval_step,
+                      stream_train, stream_test, metrics_log, start_epoch,
+                      profile_remaining, profiling)
+    finally:
+        # join (and surface failures from) in-flight async checkpoint
+        # saves even when the loop raises — a checkpoint the caller
+        # believes saved must exist or the run must fail loudly
+        checkpoint.wait_for_saves()
+
+
+def _train_epochs(opt, config, state, mesh, train_step, eval_step,
+                  stream_train, stream_test, metrics_log, start_epoch,
+                  profile_remaining, profiling):
+    import jax
+
     for epoch in range(start_epoch, opt.number_of_epochs + 1):
-        gen_losses, disc_losses = [], []
+        gen_sum = disc_sum = None
+        loss_count = 0
         num_iterations = opt.iters_per_epoch
         print("Num iterations : ", num_iterations)
         epoch_t0 = time.time()
@@ -156,12 +162,17 @@ def main(argv=None):
             fake, real, gen_batch = draw_step_batches(
                 stream_train, config.training_ratio)
             state, metrics, out = train_step(state, fake, real, gen_batch)
-            # keep metrics on device: np.asarray here would force a
-            # device→host sync every iteration, serializing the step
-            # pipeline (each sync is a full tunnel/PCIe round trip); they
-            # are materialized together at display time
-            gen_losses.append(metrics["gen"])
-            disc_losses.append(metrics["disc"])
+            # keep metrics on device as fixed-shape running sums:
+            # np.asarray here would force a device→host sync every
+            # iteration (a full tunnel/PCIe round trip serializing the
+            # step pipeline), and stacking a growing list would compile a
+            # new concatenate at every display; the (3,) add is one cheap
+            # dispatch per step and one fetch per display
+            gen_sum = metrics["gen"] if gen_sum is None \
+                else gen_sum + metrics["gen"]
+            disc_sum = metrics["disc"] if disc_sum is None \
+                else disc_sum + metrics["disc"]
+            loss_count += 1
             if profiling:
                 profile_remaining -= 1
                 if profile_remaining <= 0:
@@ -172,13 +183,8 @@ def main(argv=None):
                           os.path.join(opt.saveDir, "trace"))
 
             if it % opt.display_ratio == 0:
-                import jax.numpy as jnp
-                # one stacked fetch (a per-element np.array would round-trip
-                # the tunnel once per recorded step)
-                g_total, g_ll, g_ad = np.asarray(
-                    jnp.mean(jnp.stack(gen_losses), axis=0))
-                d_total, d_true, d_fake = np.asarray(
-                    jnp.mean(jnp.stack(disc_losses), axis=0))
+                g_total, g_ll, g_ad = np.asarray(gen_sum) / loss_count
+                d_total, d_true, d_fake = np.asarray(disc_sum) / loss_count
                 total = g_total + d_total
                 elapsed = time.time() - epoch_t0
                 ips = (it + 1) * config.batch_size * \
@@ -211,7 +217,6 @@ def main(argv=None):
             # training keeps stepping through the (slow) host fetch
             checkpoint.save(to_save, opt.checkpoints_dir, epoch,
                             block=False)
-    checkpoint.wait_for_saves()
 
 
 def _save_samples(opt, config, gen_batch, out, eval_step, state,

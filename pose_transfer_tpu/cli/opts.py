@@ -166,3 +166,32 @@ class Opts:
                 f.write("  %s: %s\n" % (str(k), str(v)))
             f.write("==> Args:\n")
         return opt
+
+
+def config_from_opt(opt):
+    """GANConfig from parsed opts, honoring --compute_dtype (shared by the
+    train/serve drivers so dtype handling cannot diverge)."""
+    from ..train import GANConfig
+    config = GANConfig.from_opt(opt)
+    if opt.compute_dtype == "bfloat16":
+        import dataclasses
+
+        import jax.numpy as jnp
+        config = dataclasses.replace(config, compute_dtype=jnp.bfloat16)
+    return config
+
+
+def mesh_from_opt(opt, config):
+    """1-D data mesh per --num_devices (0 = all visible devices); None for
+    single-device or when the batch size does not divide over the mesh
+    (silent single-device fallback — scale-out is opt-in, not load-bearing
+    for correctness)."""
+    if opt.num_devices == 1:
+        return None
+    import jax
+
+    from ..parallel import make_mesh
+    n = opt.num_devices or len(jax.devices())
+    if n > 1 and config.batch_size % n == 0:
+        return make_mesh(n)
+    return None

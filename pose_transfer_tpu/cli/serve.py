@@ -26,25 +26,13 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 from ..serve import PoseTransferServer
-from ..train import GANConfig, checkpoint, create_state
-from .opts import Opts
+from ..train import checkpoint, create_state
+from .opts import Opts, config_from_opt, mesh_from_opt
 
 
 def build_server(opt) -> PoseTransferServer:
-    config = GANConfig.from_opt(opt)
-    if opt.compute_dtype == "bfloat16":
-        import dataclasses
-
-        import jax.numpy as jnp
-        config = dataclasses.replace(config, compute_dtype=jnp.bfloat16)
-    mesh = None
-    if opt.num_devices != 1:
-        import jax
-
-        from ..parallel import make_mesh
-        n = opt.num_devices or len(jax.devices())
-        if n > 1 and config.batch_size % n == 0:
-            mesh = make_mesh(n)
+    config = config_from_opt(opt)
+    mesh = mesh_from_opt(opt, config)
     state, gen, _ = create_state(config, seed=opt.seed)
     if opt.generator_checkpoint:
         state = state.replace(gen_params=checkpoint.load_params(
@@ -84,21 +72,30 @@ class _Handler(BaseHTTPRequestHandler):
         if self.path != "/generate":
             self._send(404, b"not found", "text/plain")
             return
-        try:
+        try:  # request faults (bad npz / wrong shapes) → 400
             n = int(self.headers.get("Content-Length", "0"))
             with np.load(io.BytesIO(self.rfile.read(n))) as z:
                 image = z["image"]
                 kp_from = z["kp_from"]
                 kp_to = z["kp_to"]
-            out = self.pts.submit(image, kp_from, kp_to).result(timeout=120)
-            if out.dtype != np.uint8:  # float-output server configs
-                out = ((np.clip(out, -1.0, 1.0) + 1.0) * 127.5).astype(
-                    np.uint8)
-            buf = io.BytesIO()
-            np.savez_compressed(buf, image=out)
-            self._send(200, buf.getvalue(), "application/octet-stream")
-        except Exception as e:  # report request errors as 400s
-            self._send(400, str(e).encode(), "text/plain")
+            fut = self.pts.submit(image, kp_from, kp_to)
+        except Exception as e:
+            self._send(400, str(e).encode() or b"bad request", "text/plain")
+            return
+        try:  # execution faults (batch failure, wedge) → 5xx
+            out = fut.result(timeout=120)
+        except TimeoutError:
+            self._send(504, b"generation timed out", "text/plain")
+            return
+        except Exception as e:
+            self._send(500, str(e).encode() or b"generation failed",
+                       "text/plain")
+            return
+        if out.dtype != np.uint8:  # float-output server configs
+            out = ((np.clip(out, -1.0, 1.0) + 1.0) * 127.5).astype(np.uint8)
+        buf = io.BytesIO()
+        np.savez_compressed(buf, image=out)
+        self._send(200, buf.getvalue(), "application/octet-stream")
 
 
 def make_http_server(pts: PoseTransferServer, host: str = "127.0.0.1",
@@ -113,7 +110,7 @@ def main(argv=None):
     enable_compilation_cache()
     pts = build_server(opt)
     # warm the executable so the first request doesn't pay the compile
-    h, w = GANConfig.from_opt(opt).image_size
+    h, w = pts.config.image_size
     k = opt.pose_dim
     dummy_kp = np.stack([np.linspace(4, h - 4, k),
                          np.linspace(4, w - 4, k)], 1).astype(np.float32)

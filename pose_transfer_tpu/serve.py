@@ -95,6 +95,10 @@ class PoseTransferServer:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
+    @property
+    def config(self):
+        return self._config
+
     # ------------------------------------------------------------- requests
 
     def prepare_request(self, image: np.ndarray, kp_from: np.ndarray,
@@ -111,6 +115,13 @@ class PoseTransferServer:
                 f"got {image.shape}")
         kp_from = np.asarray(kp_from, np.float32)
         kp_to = np.asarray(kp_to, np.float32)
+        # malformed keypoints must fail HERE: past this point the sample is
+        # co-batched, where a bad shape either poisons the whole batch's
+        # collate or (uniformly wrong K) retraces the compiled eval step
+        for name, kp in (("kp_from", kp_from), ("kp_to", kp_to)):
+            if kp.shape != (cfg.pose_dim, 2):
+                raise ValueError(
+                    f"{name} must be {(cfg.pose_dim, 2)}, got {kp.shape}")
         sample = {
             "image_from": image,
             "kp_from": kp_from,
@@ -221,6 +232,15 @@ class PoseTransferServer:
     def close(self):
         self._stop.set()
         self._thread.join(timeout=5.0)
+        # fail queued-but-undispatched requests instead of stranding their
+        # futures (callers block on .result())
+        while True:
+            try:
+                _, fut, _ = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if not fut.done():
+                fut.set_exception(RuntimeError("server closed"))
 
     def __enter__(self):
         return self

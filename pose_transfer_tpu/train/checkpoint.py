@@ -98,19 +98,39 @@ def save(state, save_dir: str, epoch: int, *, block: bool = True) -> None:
         state)
 
     def _job():
-        _write_state(jax.device_get(snap), save_dir, epoch)
+        try:
+            _write_state(jax.device_get(snap), save_dir, epoch)
+        except BaseException as e:  # surfaced by wait_for_saves
+            t.error = e
 
     t = threading.Thread(target=_job, daemon=True)
+    t.error = None
     t.start()
-    _pending_saves[:] = [p for p in _pending_saves if p.is_alive()]
+    _drain_finished()
     _pending_saves.append(t)
 
 
+def _drain_finished() -> None:
+    """Drop finished saves, re-raising the first failure encountered —
+    a silently lost checkpoint must not look like a successful one."""
+    err = None
+    alive = []
+    for p in _pending_saves:
+        if p.is_alive():
+            alive.append(p)
+        elif err is None and getattr(p, "error", None) is not None:
+            err = p.error
+    _pending_saves[:] = alive
+    if err is not None:
+        raise RuntimeError("async checkpoint save failed") from err
+
+
 def wait_for_saves(timeout: float | None = None) -> None:
-    """Join outstanding async saves (drivers call this before exiting)."""
+    """Join outstanding async saves (drivers call this in a ``finally``
+    before exiting). Raises if any background save failed."""
     for t in list(_pending_saves):
         t.join(timeout)
-    _pending_saves[:] = [p for p in _pending_saves if p.is_alive()]
+    _drain_finished()
 
 
 def resume(state, save_dir: str):

@@ -86,6 +86,10 @@ def test_serve_rejects_wrong_shape():
             srv.prepare_request(
                 np.zeros((32, 32, 3), np.uint8),
                 np.zeros((18, 2), np.float32), np.zeros((18, 2), np.float32))
+        with pytest.raises(ValueError):  # wrong K: would poison the batch
+            srv.prepare_request(
+                np.zeros((*srv.config.image_size, 3), np.uint8),
+                np.zeros((19, 2), np.float32), np.zeros((18, 2), np.float32))
 
 
 def test_serve_stacked_smoke():

@@ -108,8 +108,11 @@ def main() -> None:
             jax.block_until_ready(state)
     except Exception as e:  # tracing unsupported through the tunnel
         print(f"trace failed ({e}); falling back to cost_analysis")
-        lowered = jax.jit(make_train_step(config, gen, disc)).lower(
-            state, fake, real, gen_batch)
+        if args.mode == "infer":
+            lowered = eval_step.lower(state.gen_params, raw)
+        else:
+            lowered = jax.jit(make_train_step(config, gen, disc)).lower(
+                state, fake, real, gen_batch)
         ca = lowered.compile().cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
