@@ -246,3 +246,19 @@ def test_checkpoint_async_save_matches_blocking(tmp_path):
         a = (tmp_path / "sync" / name).read_bytes()
         b = (tmp_path / "async" / name).read_bytes()
         assert a == b, f"{name} differs between sync and async save"
+
+
+def test_checkpoint_async_failure_surfaces(tmp_path, monkeypatch):
+    """A failed background save must raise from wait_for_saves, not
+    silently drop the checkpoint."""
+    config = small_config()
+    state, gen, disc = create_state(config, seed=0)
+
+    def boom(*a, **k):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(checkpoint, "_write_state", boom)
+    with pytest.raises(RuntimeError, match="async checkpoint"):
+        checkpoint.save(state, str(tmp_path), epoch=1, block=False)
+        checkpoint.wait_for_saves()
+    assert not list(tmp_path.glob("*.msgpack"))
