@@ -37,9 +37,12 @@ def main() -> None:
 
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     mode = os.environ.get("BENCH_MODE", "train")  # train | infer
+    windowed = os.environ.get("BENCH_WINDOWED", "0") != "0"  # A/B knob
+    # (windowed fold is an opt-in experiment — see ops/warp.py's verdict)
     config = GANConfig(image_size=(256, 256), pose_dim=18, batch_size=batch,
                        warp_skip="mask", gen_type="baseline",
-                       training_ratio=1, compute_dtype=jnp.bfloat16)
+                       training_ratio=1, compute_dtype=jnp.bfloat16,
+                       warp_windowed=windowed)
     state, gen, disc = create_state(config, seed=0)
     if mode == "infer":
         _bench_infer(config, gen, state)

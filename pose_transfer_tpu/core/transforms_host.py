@@ -77,6 +77,23 @@ def check_keypoints_present(kp: dict, names) -> bool:
     return all(name in kp for name in names)
 
 
+def static_empty_parts(pose_dim: int) -> tuple[int, ...]:
+    """Part indices whose mask/transform are degenerate for EVERY input of
+    this schema — the joint names the part needs don't exist in the schema
+    at all (e.g. pose_dim 16: 'Rkne'/'Lkne' never match the 16-joint
+    'Rknee'/'Lknee' labels, and no head names exist → parts 1-5 are always
+    the empty-mask sentinel; see the module docstring). Lets the device
+    fold skip their contractions statically (ops/warp.py)."""
+    labels = set(LABELS if pose_dim == 16 else LABELS_PAF)
+    out = []
+    if not any(nm in labels for nm in HEAD_CANDIDATE_NAMES):
+        out.append(1)
+    for i, (fr, to, _, _) in enumerate(LIMB_PARTS):
+        if fr not in labels or to not in labels:
+            out.append(i + 2)
+    return tuple(out)
+
+
 def compute_st_distance(kp: dict) -> float:
     """Torso scale: RMS of hip-shoulder distances (pose_transform.py:119-122)."""
     d1 = np.sum((kp["Rhip"] - kp["Rsho"]) ** 2)

@@ -196,3 +196,162 @@ def test_fold_idx_first_t_wins_ties():
     _, idx = _fold_scan(feats, warps, masks, (H, W), "max")
     assert idx.dtype == jnp.int8
     assert not bool(jnp.any(idx == 1))        # never the duplicate
+
+
+# ---- mask-windowed fold --------------------------------------------------
+
+from pose_transfer_tpu.ops.warp import _support_windows  # noqa: E402
+
+
+def _windowed_inputs(seed, n=3, t=10, h=64, w=64, c=5, oversize=False):
+    """Masks exercising the fold branches: body all-ones (always full-res),
+    small fractional boxes (windowed), two empty (sentinel), and optionally
+    one oversize box — which trips the whole-fold full fallback."""
+    rng = np.random.default_rng(seed)
+    feats = jnp.asarray(rng.normal(size=(n, h, w, c)), jnp.float32)
+    trs = []
+    for _ in range(n * t):
+        a = rng.uniform(-0.6, 0.6)
+        trs.append([np.cos(a), -np.sin(a), rng.uniform(-10, 10),
+                    np.sin(a), np.cos(a), rng.uniform(-10, 10), 0, 0])
+    warps = jnp.asarray(np.asarray(trs).reshape(n, t, 8), jnp.float32)
+    masks = np.zeros((n, t, h, w), np.float32)
+    masks[:, 0] = 1.0
+    for i in range(n):
+        for j in range(1, 8):
+            y, x = rng.integers(0, h - 20), rng.integers(0, w - 20)
+            masks[i, j, y:y + int(rng.integers(5, 20)),
+                  x:x + int(rng.integers(5, 20))] = rng.uniform(0.3, 1.0)
+    if oversize:
+        masks[:, 7] = 0.0
+        masks[:, 7, 5:h - 9, 2:w - 4] = 1.0   # > h/2 extent
+    return feats, warps, jnp.asarray(masks)
+
+
+def test_support_windows():
+    feats, warps, masks = _windowed_inputs(0, oversize=True)
+    y0, x0, fits, empty = _support_windows(masks, 32, 32)
+    fits, empty = np.asarray(fits), np.asarray(empty)
+    assert not fits[:, 0].any()          # body: all-ones never fits
+    assert fits[:, 1:7].all()            # small boxes fit
+    assert not fits[:, 7].any()          # oversize box
+    assert fits[:, 8:].all() and empty[:, 8:].all()   # empty parts
+    assert not empty[:, :8].any()
+    # window covers the support
+    m = np.asarray(masks)
+    for i in range(m.shape[0]):
+        for j in range(1, 7):
+            ys, xs = np.nonzero(m[i, j])
+            assert int(y0[i, j]) <= ys.min() and ys.max() < int(y0[i, j]) + 32
+            assert int(x0[i, j]) <= xs.min() and xs.max() < int(x0[i, j]) + 32
+
+
+@pytest.mark.parametrize("agg", ["max", "avg"])
+@pytest.mark.parametrize("oversize", [False, True])
+def test_windowed_fold_matches_full(agg, oversize):
+    """Windowed == full-extent fold (mathematically exact; a few f32 ulps
+    of FMA/codegen wiggle between contraction shapes), fwd and grad — both
+    the all-parts-fit windowed path and the oversize full fallback."""
+    feats, warps, masks = _windowed_inputs(1, oversize=oversize)
+    ref = warp_fold_matmul(feats, warps, masks, (H_W := (64, 64)), agg, False)
+    win = warp_fold_matmul(feats, warps, masks, H_W, agg, True)
+    np.testing.assert_allclose(np.asarray(win), np.asarray(ref),
+                               atol=2e-6, rtol=1e-5)
+
+    def loss(f, windowed):
+        out = warp_fold_matmul(f, warps, masks, H_W, agg, windowed)
+        return jnp.sum(jnp.sin(out))
+
+    g_ref = jax.grad(lambda f: loss(f, False))(feats)
+    g_win = jax.grad(lambda f: loss(f, True))(feats)
+    np.testing.assert_allclose(np.asarray(g_win), np.asarray(g_ref),
+                               atol=5e-6, rtol=1e-4)
+
+
+def test_windowed_fold_bf16_bit_exact():
+    feats, warps, masks = _windowed_inputs(2)
+    fb, mb = feats.astype(jnp.bfloat16), masks.astype(jnp.bfloat16)
+    ref = warp_fold_matmul(fb, warps, mb, (64, 64), "max", False)
+    win = warp_fold_matmul(fb, warps, mb, (64, 64), "max", True)
+    np.testing.assert_array_equal(np.asarray(ref, np.float32),
+                                  np.asarray(win, np.float32))
+
+
+def test_windowed_fold_sentinel_parts_contribute_zero():
+    """Sentinel transforms (empty masks) must inject exact zeros into the
+    max — reference semantics: warped·mask ≡ 0 everywhere for that part."""
+    rng = np.random.default_rng(3)
+    n, t, h, w, c = 2, 3, 64, 64, 4
+    feats = jnp.asarray(-np.abs(rng.normal(size=(n, h, w, c))) - 0.5,
+                        jnp.float32)  # strictly negative features
+    eye = np.tile(np.eye(3, dtype=np.float32).ravel()[:8], (n, t, 1))
+    eye[:, 1] = [1, 0, 1000, 0, 1, 1000, 0, 0]   # sentinel translate
+    warps = jnp.asarray(eye)
+    masks = np.ones((n, t, h, w), np.float32)
+    masks[:, 1] = 0.0                             # empty mask for sentinel
+    out = warp_fold_matmul(feats, warps, jnp.asarray(masks), (h, w),
+                           "max", True)
+    # the sentinel's zero contribution dominates the negative features
+    np.testing.assert_array_equal(np.asarray(out),
+                                  np.zeros((n, h, w, c), np.float32))
+
+
+def test_windowed_disabled_for_odd_or_small_shapes():
+    """Odd dims / sub-32 windows fall back to the full fold (still correct)."""
+    rng = np.random.default_rng(4)
+    for h, w in [(30, 64), (63, 64)]:
+        feats = jnp.asarray(rng.normal(size=(1, h, w, 3)), jnp.float32)
+        warps = jnp.asarray(
+            np.tile(np.eye(3, dtype=np.float32).ravel()[:8], (1, 2, 1)))
+        masks = jnp.asarray(rng.uniform(0, 1, (1, 2, h, w)), jnp.float32)
+        a = warp_fold_matmul(feats, warps, masks, (h, w), "max", True)
+        b = warp_fold_matmul(feats, warps, masks, (h, w), "max", False)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_static_empty_parts_schema():
+    from pose_transfer_tpu.core.transforms_host import static_empty_parts
+    # pose_dim 16 ('Rkne'/'Lkne' not in the 16-joint labels, no head names):
+    # head + hip→kne ×2 + kne→ank ×2 degenerate (transforms_host docstring)
+    assert static_empty_parts(16) == (1, 2, 3, 4, 5)
+    assert static_empty_parts(18) == ()
+
+
+@pytest.mark.parametrize("agg", ["max", "avg"])
+def test_windowed_static_empty_matches_full(agg):
+    """Skipping statically-empty parts == computing them (their masks are
+    empty, so their contribution is exactly zero)."""
+    feats, warps, masks = _windowed_inputs(5)
+    masks = masks.at[:, 1:6].set(0.0)   # pose_dim-16-like: parts 1-5 empty
+    ref = warp_fold_matmul(feats, warps, masks, (64, 64), agg, False)
+    win = warp_fold_matmul(feats, warps, masks, (64, 64), agg, True,
+                           (1, 2, 3, 4, 5))
+    np.testing.assert_allclose(np.asarray(win), np.asarray(ref),
+                               atol=2e-6, rtol=1e-5)
+    g_ref = jax.grad(lambda f: jnp.sum(jnp.sin(
+        warp_fold_matmul(f, warps, masks, (64, 64), agg, False))))(feats)
+    g_win = jax.grad(lambda f: jnp.sum(jnp.sin(
+        warp_fold_matmul(f, warps, masks, (64, 64), agg, True,
+                         (1, 2, 3, 4, 5)))))(feats)
+    np.testing.assert_allclose(np.asarray(g_win), np.asarray(g_ref),
+                               atol=5e-6, rtol=1e-4)
+
+
+@pytest.mark.parametrize("agg", ["max", "avg"])
+def test_full_fold_static_empty_matches(agg):
+    """Static part compaction on the DEFAULT (non-windowed) fold: skipping
+    the structurally-empty parts equals computing them."""
+    feats, warps, masks = _windowed_inputs(6)
+    masks = masks.at[:, 1:6].set(0.0)
+    ref = warp_fold_matmul(feats, warps, masks, (64, 64), agg, False)
+    cmp = warp_fold_matmul(feats, warps, masks, (64, 64), agg, False,
+                           (1, 2, 3, 4, 5))
+    np.testing.assert_allclose(np.asarray(cmp), np.asarray(ref),
+                               atol=2e-6, rtol=1e-5)
+    g_ref = jax.grad(lambda f: jnp.sum(jnp.sin(
+        warp_fold_matmul(f, warps, masks, (64, 64), agg, False))))(feats)
+    g_cmp = jax.grad(lambda f: jnp.sum(jnp.sin(
+        warp_fold_matmul(f, warps, masks, (64, 64), agg, False,
+                         (1, 2, 3, 4, 5)))))(feats)
+    np.testing.assert_allclose(np.asarray(g_cmp), np.asarray(g_ref),
+                               atol=5e-6, rtol=1e-4)

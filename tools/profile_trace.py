@@ -55,6 +55,7 @@ def main() -> None:
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--outdir", default="/tmp/pt_trace")
     ap.add_argument("--mode", default="train", choices=["train", "infer"])
+    ap.add_argument("--windowed", type=int, default=1)
     args = ap.parse_args()
 
     import jax
@@ -71,7 +72,8 @@ def main() -> None:
     config = GANConfig(image_size=(256, 256), pose_dim=18,
                        batch_size=args.batch, warp_skip="mask",
                        gen_type="baseline", training_ratio=1,
-                       compute_dtype=jnp.bfloat16)
+                       compute_dtype=jnp.bfloat16,
+                       warp_windowed=bool(args.windowed))
     state, gen, disc = create_state(config, seed=0)
 
     rng = np.random.default_rng(0)
