@@ -20,14 +20,14 @@ import numpy as np
 from ..data import PoseTransferDataset
 from ..data.dataset import collate
 from ..ops.ssim import ssim
-from ..train import GANConfig, checkpoint, create_state, make_eval_step
-from .opts import Opts
+from ..train import checkpoint, create_state, make_eval_step
+from .opts import Opts, config_from_opt
 
 
 def evaluate(opt, max_batches: int | None = None) -> dict:
     from ..utils.cache import enable_compilation_cache
     enable_compilation_cache()
-    config = GANConfig.from_opt(opt)
+    config = config_from_opt(opt)  # honors --compute_dtype (VERDICT r1 #4)
     dataset = PoseTransferDataset(vars(opt), "test")
     state, gen, _ = create_state(config, seed=opt.seed)
     state, epoch = checkpoint.resume(state, opt.checkpoints_dir)
@@ -49,6 +49,8 @@ def evaluate(opt, max_batches: int | None = None) -> dict:
         batch = collate([dataset[b * config.batch_size + i]
                          for i in range(config.batch_size)])
         out, prepared = eval_step(state.gen_params, batch)
+        if config.gen_type == "stacked":
+            out = out[-1]  # metric on the final stage image
         s, l1, p = metric(out.astype(jnp.float32),
                           prepared["target"].astype(jnp.float32))
         ssims.append(float(s))

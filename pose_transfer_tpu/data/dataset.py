@@ -145,7 +145,7 @@ class PoseTransferDataset:
         }
         cached = None if self._warp_cache is None \
             else self._warp_cache.get(index)
-        if self.gen_type == "baseline":
+        if self.gen_type != "stacked":
             if cached is None:
                 cached = self._warp_fit(kp_from, kp_to)
                 if self._warp_cache is not None:
@@ -198,7 +198,7 @@ class PoseTransferDataset:
         packed = np.concatenate(parts, axis=0).astype(np.float32)
         target = img(pair["to"])
 
-        if self.gen_type == "baseline":
+        if self.gen_type != "stacked":
             if self.warp_skip == "mask":
                 warps = th.affine_transforms(kp_from, kp_to, self.pose_dim)
                 masks = th.pose_masks(kp_to, self.image_size, self.pose_dim)

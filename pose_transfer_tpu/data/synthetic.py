@@ -103,7 +103,7 @@ def synthetic_compact_batch(rng: np.random.Generator, batch_size: int,
             "kp_from": kp_from.astype(np.float32),
             "kp_to": kp_to.astype(np.float32),
         }
-        if gen_type == "baseline":
+        if gen_type != "stacked":
             if warp_skip == "mask":
                 s["warps"] = th.affine_transforms(
                     kp_from, kp_to, pose_dim).astype(np.float32)

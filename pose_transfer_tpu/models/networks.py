@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..core import pose as pose_ops
+from ..core import transforms_host as th
 from ..ops.norm import volume_instance_norm
 from ..ops.warp import affine_transform_layer
 
@@ -52,6 +53,35 @@ def decoder_filters_for(image_size: tuple[int, int]) -> tuple[int, ...]:
 
 
 _conv_init = nn.initializers.glorot_uniform()
+
+
+def gaussian_weights_init(params, rng: jax.Array):
+    """Re-initialize every conv kernel with N(0, 0.02).
+
+    Rebuild of the reference's ``gaussian_weights_init``
+    (src_deformable/models/networks.py:33-42): torch walks modules and
+    draws conv/linear weights from N(0, 0.02); biases and the volume
+    instance norms keep their defaults (the torch fn only touches
+    'BatchNorm2d' norms, and the reference's norms are InstanceNorm3d).
+    Here: every rank-4 'kernel' leaf (conv/conv-transpose) is redrawn,
+    each from its own fold of ``rng``; everything else passes through.
+    Selected via GANConfig.weight_init='gaussian' (the reference exposed
+    no flag — pose_gan.py applies xavier — but ships the fn as a
+    capability).
+    """
+    leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+    new = {}
+    for i, (path, leaf) in enumerate(leaves):
+        is_kernel = any(getattr(p, "key", None) == "kernel" for p in path)
+        if is_kernel and getattr(leaf, "ndim", 0) == 4:
+            new[jax.tree_util.keystr(path)] = (
+                0.02 * jax.random.normal(jax.random.fold_in(rng, i),
+                                         leaf.shape, leaf.dtype))
+
+    def replace(path, leaf):
+        return new.get(jax.tree_util.keystr(path), leaf)
+
+    return jax.tree_util.tree_map_with_path(replace, params)
 
 
 class VolumeInstanceNorm(nn.Module):
@@ -159,6 +189,7 @@ class DeformableGenerator(nn.Module):
     use_input_pose: bool = True
     num_warp_stages: int = 4       # warp only the first 4 skips
     warp_backend: str = "matmul"   # 'matmul' (MXU) | 'exact' (gather)
+    warp_windowed: bool = False    # opt-in mask-windowed fold (ops/warp.py)
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -180,13 +211,21 @@ class DeformableGenerator(nn.Module):
         skips_pose = Encoder(self.nfilters_enc, dtype=self.dtype,
                              name="encoder_pose")(tg_pose, train=train)
 
+        # parts whose joint names don't exist in this schema are degenerate
+        # for EVERY sample (pose_dim 16: head + 4 knee-adjacent limbs) — the
+        # windowed fold skips their contractions statically
+        static_empty = th.static_empty_parts(self.pose_dim) \
+            if self.warp_skip == "mask" else ()
+
         skips = []
         for i, (sk_app, sk_pose) in enumerate(zip(skips_app, skips_pose)):
             if i < self.num_warp_stages:
                 warped = affine_transform_layer(
                     sk_app, warps, masks, self.image_size,
                     self.warp_skip, self.warp_agg,
-                    backend=self.warp_backend)
+                    backend=self.warp_backend,
+                    windowed=self.warp_windowed,
+                    static_empty=static_empty)
                 skips.append(jnp.concatenate([warped, sk_pose], axis=-1))
             else:
                 skips.append(jnp.concatenate([sk_app, sk_pose], axis=-1))
@@ -225,6 +264,7 @@ class StackedGenerator(nn.Module):
     warp_agg: str = "max"
     use_input_pose: bool = True
     warp_backend: str = "matmul"
+    warp_windowed: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -236,6 +276,7 @@ class StackedGenerator(nn.Module):
             self.pose_dim, self.image_size, self.nfilters_enc,
             self.nfilters_dec, self.warp_skip, self.warp_agg,
             self.use_input_pose, warp_backend=self.warp_backend,
+            warp_windowed=self.warp_windowed,
             dtype=self.dtype, name="generator")
 
         init_img, init_pose, _ = pose_ops.get_imgpose(

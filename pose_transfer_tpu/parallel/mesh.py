@@ -64,10 +64,14 @@ def make_parallel_train_step(config: GANConfig, gen, disc, mesh: Mesh,
     step = make_train_step(config, gen, disc)
     repl = NamedSharding(mesh, P())
     disc_shard, gen_shard = batch_shardings(mesh, axis_name)
+    # out images: (N, H, W, 3) baseline / (S, N, H, W, 3) stacked stages —
+    # the batch axis moves to axis 1 for stacked
+    out_shard = NamedSharding(mesh, P(None, axis_name)) \
+        if config.gen_type == "stacked" else gen_shard
     return jax.jit(
         step,
         in_shardings=(repl, disc_shard, disc_shard, gen_shard),
-        out_shardings=(repl, repl, gen_shard),
+        out_shardings=(repl, repl, out_shard),
         donate_argnums=(0,),
     )
 
@@ -80,5 +84,7 @@ def make_parallel_eval_step(config: GANConfig, gen, mesh: Mesh,
     inner = make_eval_step(config, gen)
     repl = NamedSharding(mesh, P())
     gen_shard = NamedSharding(mesh, P(axis_name))
+    out_shard = NamedSharding(mesh, P(None, axis_name)) \
+        if config.gen_type == "stacked" else gen_shard
     return jax.jit(inner, in_shardings=(repl, gen_shard),
-                   out_shardings=(gen_shard, gen_shard))
+                   out_shardings=(out_shard, gen_shard))

@@ -127,7 +127,7 @@ class PoseTransferServer:
             "kp_from": kp_from,
             "kp_to": kp_to,
         }
-        if cfg.gen_type == "baseline":
+        if cfg.gen_type != "stacked":
             warps, polys, kinds = warp_fit(
                 kp_from, kp_to, cfg.pose_dim, cfg.image_size, cfg.warp_skip)
             sample.update(warps=warps, mask_polys=polys, mask_kinds=kinds)
@@ -148,6 +148,14 @@ class PoseTransferServer:
         fut: Future = Future()
         sample = self.prepare_request(image, kp_from, kp_to)
         self._q.put((sample, fut, time.perf_counter()))
+        # close() may have drained the queue between the _stop check and
+        # the put — fail the future rather than strand a .result() caller
+        # (InvalidStateError = close()'s drain got to it first, fine)
+        if self._stop.is_set() and not fut.done():
+            try:
+                fut.set_exception(RuntimeError("server closed"))
+            except BaseException:
+                pass
         return fut
 
     def generate(self, requests: list[tuple[np.ndarray, np.ndarray,
@@ -188,6 +196,8 @@ class PoseTransferServer:
         # static-shape pad: repeat the last sample; padded outputs dropped
         samples = samples + [samples[-1]] * (bs - len(samples))
         out, _ = self._eval(self._params, collate(samples))
+        if self._config.gen_type == "stacked":
+            out = out[-1]  # (S, N, H, W, 3) stage stack → final image
         if self._output_dtype == "uint8":
             out_np = np.asarray(self._post(out)[:len(items)])
         else:

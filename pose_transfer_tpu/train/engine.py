@@ -40,8 +40,10 @@ from ..models.networks import (
     DeformableGenerator,
     Discriminator,
     StackedGenerator,
+    UNetGenerator,
     decoder_filters_for,
     encoder_filters_for,
+    gaussian_weights_init,
 )
 from ..ops.nn_loss import nn_loss
 from . import losses
@@ -66,7 +68,9 @@ class GANConfig:
     content_loss_layer: str = "none"
     nn_loss_area_size: int = 1
     warp_backend: str = "matmul"   # 'matmul' (MXU path) | 'exact' (gather)
+    warp_windowed: bool = False    # opt-in mask-windowed fold (ops/warp.py)
     preprocess_mode: str = "correct"   # VGG preprocess ('reference' quirk opt-in)
+    weight_init: str = "xavier"    # 'xavier' (pose_gan.py:51-52) | 'gaussian'
     check_mode: bool = False
     compute_dtype: Any = jnp.float32
 
@@ -119,10 +123,18 @@ def build_models(config: GANConfig):
                   use_input_pose=config.use_input_pose,
                   warp_backend=config.warp_backend,
                   dtype=config.compute_dtype)
+    if config.gen_type != "unet":
+        common["warp_windowed"] = config.warp_windowed
     if config.gen_type == "stacked":
         gen = StackedGenerator(num_stacks=config.num_stacks, **common)
     elif config.gen_type == "baseline":
         gen = DeformableGenerator(**common)
+    elif config.gen_type == "unet":
+        # the baseline tree's plain single-encoder U-Net
+        # (src_baseline/models/networks.py:238-253): packed input, plain
+        # skip concat, no warping
+        gen = UNetGenerator(nfilters_enc=enc, nfilters_dec=dec,
+                            dtype=config.compute_dtype)
     else:
         raise ValueError(f"invalid gen_type {config.gen_type!r}")
     disc = Discriminator(check_mode=config.check_mode,
@@ -146,6 +158,8 @@ def _example_batch(config: GANConfig):
         if masks is not None:
             masks = jnp.broadcast_to(masks[:, None], (n, s + 1, t, h, w))
         return inp, (pose, warps, masks)
+    if config.gen_type == "unet":
+        return inp, ()
     return inp, (warps, masks)
 
 
@@ -157,6 +171,9 @@ def gen_apply(gen, params, batch: dict, config: GANConfig, *, rngs=None,
                             batch["interpol_warps"], batch["interpol_masks"],
                             train=train, rngs=rngs)
         return outputs[-1], outputs
+    if config.gen_type == "unet":
+        out = gen.apply(params, batch["input"], train=train, rngs=rngs)
+        return out, []
     out = gen.apply(params, batch["input"], batch["warps"], batch["masks"],
                     train=train, rngs=rngs)
     return out, []
@@ -193,6 +210,12 @@ def create_state(config: GANConfig, seed: int = 0,
         {"params": k_disc},
         jnp.zeros((1, *config.image_size, config.input_nc + 3),
                   config.compute_dtype), train=False)
+    if config.weight_init == "gaussian":
+        k_ggen, k_gdisc = jax.random.split(jax.random.fold_in(root, 7))
+        gen_params = gaussian_weights_init(gen_params, k_ggen)
+        disc_params = gaussian_weights_init(disc_params, k_gdisc)
+    elif config.weight_init != "xavier":
+        raise ValueError(f"invalid weight_init {config.weight_init!r}")
     if config.content_loss_layer != "none" and vgg_params is None:
         vgg_params = vgg_mod.random_vgg19_features(0)
     tx = make_optimizer(config)
@@ -278,8 +301,8 @@ def make_train_step(config: GANConfig, gen, disc, tx=None):
         rng, k_gen = jax.random.split(state.rng)
 
         def loss_fn(gp):
-            out_gen, _ = gen_apply(gen, gp, batch, config,
-                                   rngs={"dropout": k_gen}, train=True)
+            out_gen, stages = gen_apply(gen, gp, batch, config,
+                                        rngs={"dropout": k_gen}, train=True)
             d_inp = disc_input(batch["input"], out_gen, config)
             d_out = disc.apply(state.disc_params, d_inp, train=True)
             ad = losses.gen_adversarial_loss(
@@ -291,7 +314,12 @@ def make_train_step(config: GANConfig, gen, disc, tx=None):
             if config.tv_penalty_weight:
                 total = total + config.tv_penalty_weight * \
                     losses.total_variation_loss(out_gen)
-            return total, (ll, ad, out_gen)
+            # stacked: surface every stage image (S, N, H, W, 3), the
+            # reference's per-stage diagnostic view (networks.py:306-327 +
+            # display_stacked, pose_utils.py:258-288); stacking keeps the
+            # step's output pytree static
+            out = jnp.stack(stages) if stages else out_gen
+            return total, (ll, ad, out)
 
         (total, (ll, ad, out_gen)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.gen_params)
@@ -306,6 +334,8 @@ def make_train_step(config: GANConfig, gen, disc, tx=None):
 
     def train_step(state: GANState, disc_fake: dict, disc_real: dict,
                    gen_batch: dict):
+        """Returns (state, metrics, out): ``out`` is (N, H, W, 3) for the
+        baseline generator, (S, N, H, W, 3) per-stage images for stacked."""
         carry = (state.disc_params, state.disc_opt_state, state.gen_params,
                  state.rng)
         carry, disc_metrics = jax.lax.scan(disc_phase, carry,
@@ -322,7 +352,11 @@ def make_train_step(config: GANConfig, gen, disc, tx=None):
 
 
 def make_eval_step(config: GANConfig, gen):
-    """Jitted inference forward on a compact batch → generated images."""
+    """Jitted inference forward on a compact batch → generated images.
+
+    Returns (out, prepared_batch); ``out`` is (N, H, W, 3) for baseline,
+    (S, N, H, W, 3) per-stage images for stacked (reference
+    networks.py:306-327 returns every stage)."""
     prepare = make_batch_preparer(
         image_size=config.image_size, pose_dim=config.pose_dim,
         use_input_pose=config.use_input_pose, warp_skip=config.warp_skip,
@@ -332,7 +366,7 @@ def make_eval_step(config: GANConfig, gen):
     @jax.jit
     def eval_step(gen_params, batch_raw: dict):
         batch = prepare(batch_raw)
-        out, _ = gen_apply(gen, gen_params, batch, config, train=False)
-        return out, batch
+        out, stages = gen_apply(gen, gen_params, batch, config, train=False)
+        return (jnp.stack(stages) if stages else out), batch
 
     return eval_step

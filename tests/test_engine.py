@@ -133,8 +133,64 @@ def test_train_step_stacked():
     real = _stack(_draws(rng, config, 1))
     gen_batch = _draws(rng, config, 1)[0]
     new_state, metrics, out_gen = step(state, fake, real, gen_batch)
-    assert out_gen.shape == (config.batch_size, *IMG, 3)
+    # per-stage images surface (S, N, H, W, 3) — the reference's stacked
+    # forward returns every stage (networks.py:306-327)
+    assert out_gen.shape == (config.num_stacks, config.batch_size, *IMG, 3)
+    # stages are distinct images, not the final output repeated
+    assert float(jnp.abs(out_gen[0] - out_gen[-1]).max()) > 1e-4
     assert np.isfinite(np.asarray(metrics["gen"])).all()
+
+
+def test_eval_step_stacked_stage_outputs():
+    config = small_config(gen_type="stacked", num_stacks=3)
+    state, gen, _ = create_state(config, seed=0)
+    eval_step = make_eval_step(config, gen)
+    rng = np.random.default_rng(0)
+    out, _ = eval_step(state.gen_params, _draws(rng, config, 1)[0])
+    assert out.shape == (config.num_stacks, config.batch_size, *IMG, 3)
+    assert float(jnp.abs(out[0] - out[-1]).max()) > 1e-4
+
+
+def test_train_step_unet():
+    """The baseline TREE's plain U-Net (src_baseline/models/networks.py:
+    238-253) reachable via gen_type='unet'."""
+    config = small_config(gen_type="unet", warp_skip="none")
+    state, gen, disc = create_state(config, seed=0)
+    step = jax.jit(make_train_step(config, gen, disc))
+    rng = np.random.default_rng(0)
+    new_state, metrics, out = step(
+        state, _stack(_draws(rng, config, 1)), _stack(_draws(rng, config, 1)),
+        _draws(rng, config, 1)[0])
+    assert out.shape == (config.batch_size, *IMG, 3)
+    assert np.isfinite(np.asarray(metrics["gen"])).all()
+    # single encoder: no encoder_app/encoder_pose split
+    names = set(new_state.gen_params["params"].keys())
+    assert "encoder" in names and "encoder_app" not in names
+
+
+def test_gaussian_weight_init():
+    """N(0, 0.02) conv kernels (networks.py:33-42) via weight_init config."""
+    cfg_x = small_config()
+    cfg_g = small_config(weight_init="gaussian")
+    state_x, _, _ = create_state(cfg_x, seed=0)
+    state_g, _, _ = create_state(cfg_g, seed=0)
+
+    kernels = [leaf for path, leaf in
+               jax.tree_util.tree_flatten_with_path(state_g.gen_params)[0]
+               if any(getattr(p, "key", None) == "kernel" for p in path)
+               and leaf.ndim == 4]
+    assert kernels
+    flat = np.concatenate([np.asarray(k).ravel() for k in kernels])
+    assert abs(flat.std() - 0.02) < 0.002
+    assert abs(flat.mean()) < 0.002
+    # differs from the xavier init, biases untouched
+    x_kernels = [leaf for path, leaf in
+                 jax.tree_util.tree_flatten_with_path(state_x.gen_params)[0]
+                 if any(getattr(p, "key", None) == "kernel" for p in path)
+                 and leaf.ndim == 4]
+    assert float(jnp.abs(kernels[0] - x_kernels[0]).max()) > 0
+    with pytest.raises(ValueError):
+        create_state(small_config(weight_init="bogus"), seed=0)
 
 
 def test_content_loss_path():
@@ -200,6 +256,38 @@ def test_checkpoint_roundtrip(tmp_path):
     # empty dir → epoch 1, state untouched
     _, epoch = checkpoint.resume(fresh, str(tmp_path / "nothing"))
     assert epoch == 1
+
+
+def test_resume_missing_disc_raises(tmp_path):
+    """A gen checkpoint without its disc sibling is a half-written dir —
+    resume must refuse, not silently restart from scratch (VERDICT r1 #6)."""
+    config = small_config()
+    state, _, _ = create_state(config, seed=0)
+    checkpoint.save(state, str(tmp_path), epoch=3)
+    (tmp_path / "disc_003.msgpack").unlink()
+    with pytest.raises(FileNotFoundError, match="no matching disc"):
+        checkpoint.resume(state, str(tmp_path))
+
+
+def test_wait_for_saves_timeout_raises(monkeypatch):
+    """wait_for_saves(timeout) treats the timeout as a deadline and raises
+    when saves are still running — incomplete must not look complete."""
+    import threading
+
+    import pose_transfer_tpu.train.checkpoint as cp
+
+    release = threading.Event()
+    t = threading.Thread(target=release.wait, daemon=True)
+    t.error = None
+    t.start()
+    monkeypatch.setattr(cp, "_pending_saves", [t])
+    try:
+        with pytest.raises(TimeoutError, match="still running"):
+            cp.wait_for_saves(timeout=0.2)
+    finally:
+        release.set()
+        t.join()
+        cp._pending_saves.clear()
 
 
 def test_fixed_seed_step_golden():

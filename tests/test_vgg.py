@@ -94,3 +94,73 @@ def test_reference_preprocess_matches_torch_view_quirk():
     theirs = v.view_as(xt).numpy()
     np.testing.assert_allclose(
         np.transpose(np.asarray(ours), (0, 3, 1, 2)), theirs, atol=1e-6)
+
+
+# ---- real-checkpoint-format import (VERDICT r1 next #8) -------------------
+
+
+def _torchvision_vgg19_module():
+    """The torchvision ``vgg19()`` module structure, built with plain torch
+    (cfg 'E' of torchvision.models.vgg.make_layers) so the state-dict key
+    layout comes from torch's own Sequential numbering — independent of
+    this package's ``features_layout``."""
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+           512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
+    layers = []
+    in_ch = 3
+    for v in cfg:
+        if v == "M":
+            layers.append(torch.nn.MaxPool2d(2, 2))
+        else:
+            layers.append(torch.nn.Conv2d(in_ch, v, 3, padding=1))
+            layers.append(torch.nn.ReLU(inplace=False))
+            in_ch = v
+    model = torch.nn.Module()
+    model.features = torch.nn.Sequential(*layers)
+    model.classifier = torch.nn.Sequential(
+        torch.nn.Linear(512 * 7 * 7, 64), torch.nn.ReLU(),
+        torch.nn.Linear(64, 10))
+    return model
+
+
+@pytest.mark.parametrize("layer", ["block1_conv2", "block3_conv3"])
+def test_import_real_torchvision_checkpoint_layout(tmp_path, layer):
+    """Load a checkpoint with the exact torchvision vgg19() state-dict key
+    layout (features.* numbered by torch's Sequential, classifier.* present
+    and ignored) and match torch's own forward through the reference's
+    blockB_convC index quirk end-to-end. Catches any OIHW→HWIO or
+    layer-offset mistake against the real checkpoint format."""
+    torch.manual_seed(0)
+    model = _torchvision_vgg19_module()
+    with torch.no_grad():
+        for p in model.parameters():
+            p.mul_(0.2)  # keep activations in a comparable range
+    path = str(tmp_path / "vgg19-dcbb9e9d.pth")
+    torch.save(model.state_dict(), path)
+
+    # sanity: the checkpoint really has the torchvision layout
+    keys = set(model.state_dict().keys())
+    assert "features.0.weight" in keys and "features.34.weight" in keys
+    assert "classifier.0.weight" in keys
+    params = load_torch_vgg19_features(path)
+    assert params["conv0_kernel"].shape == (3, 3, 3, 64)
+    assert params["conv15_kernel"].shape == (3, 3, 512, 512)
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, 32, 32, 3).astype(np.float32) * 2.0 - 1.0  # [-1, 1]
+    ours = np.asarray(extract_named(params, jnp.asarray(x), layer,
+                                    preprocess_mode="correct"))
+
+    # torch golden: the reference's extractor runs features[:ind+1]
+    # (pose_utils.py:333-336) on ImageNet-normalized input
+    ind = get_layer_ind(layer)
+    x01 = (x + 1.0) * 0.5
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    xt = torch.tensor(np.ascontiguousarray(
+        np.transpose((x01 - mean) / std, (0, 3, 1, 2))))
+    sub = torch.nn.Sequential(*list(model.features.children())[:ind + 1])
+    with torch.no_grad():
+        golden = sub(xt).numpy()
+    np.testing.assert_allclose(ours, np.transpose(golden, (0, 2, 3, 1)),
+                               atol=2e-5)
