@@ -35,10 +35,13 @@ def main() -> None:
     from pose_transfer_tpu.train.engine import (
         GANConfig, create_state, make_train_step)
 
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    # batch 32 is the measured throughput-optimal deployment point on v5e
+    # (sweep in CLAUDE.md: 253 @ b8 → 261 @ b32 with the auto-windowed
+    # fold); BENCH_BATCH/BENCH_WINDOWED override for A/B runs
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
     mode = os.environ.get("BENCH_MODE", "train")  # train | infer
-    windowed = os.environ.get("BENCH_WINDOWED", "0") != "0"  # A/B knob
-    # (windowed fold is an opt-in experiment — see ops/warp.py's verdict)
+    ww = os.environ.get("BENCH_WINDOWED", "auto")
+    windowed = None if ww == "auto" else ww != "0"
     config = GANConfig(image_size=(256, 256), pose_dim=18, batch_size=batch,
                        warp_skip="mask", gen_type="baseline",
                        training_ratio=1, compute_dtype=jnp.bfloat16,
@@ -88,6 +91,7 @@ def main() -> None:
         "value": round(ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs, 3),
+        "batch": batch,
     }))
 
 

@@ -113,6 +113,10 @@ class Opts:
                        choices=["matmul", "exact"],
                        help="matmul = two-pass MXU warp (fast on TPU); "
                             "exact = gather bilinear (torch bit-parity)")
+        p.add_argument("--warp_windowed", default="auto",
+                       choices=["auto", "0", "1"],
+                       help="mask-windowed warp fold: auto = on for "
+                            "batch >= 16 (the measured win; ops/warp.py)")
         p.add_argument("--weight_init", default="xavier",
                        choices=["xavier", "gaussian"],
                        help="xavier = glorot uniform (pose_gan.py:51-52); "

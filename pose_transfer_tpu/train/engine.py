@@ -68,7 +68,11 @@ class GANConfig:
     content_loss_layer: str = "none"
     nn_loss_area_size: int = 1
     warp_backend: str = "matmul"   # 'matmul' (MXU path) | 'exact' (gather)
-    warp_windowed: bool = False    # opt-in mask-windowed fold (ops/warp.py)
+    # mask-windowed fold (ops/warp.py): None = auto — on for batch ≥ 16,
+    # where it is the measured win (257-261 vs 236-242 img/s at 256²; the
+    # full fold's layout-copy costs scale super-linearly with batch while
+    # the windowed fold's cond barrier amortizes); off below (253 vs 248)
+    warp_windowed: bool | None = None
     preprocess_mode: str = "correct"   # VGG preprocess ('reference' quirk opt-in)
     weight_init: str = "xavier"    # 'xavier' (pose_gan.py:51-52) | 'gaussian'
     check_mode: bool = False
@@ -95,6 +99,9 @@ class GANConfig:
         kwargs["use_input_pose"] = bool(opt["use_input_pose"])
         if "checkMode" in opt:
             kwargs["check_mode"] = bool(opt["checkMode"])
+        ww = kwargs.get("warp_windowed")
+        if isinstance(ww, str):  # CLI: 'auto' | '0' | '1'
+            kwargs["warp_windowed"] = None if ww == "auto" else ww == "1"
         return cls(**kwargs)
 
 
@@ -124,7 +131,10 @@ def build_models(config: GANConfig):
                   warp_backend=config.warp_backend,
                   dtype=config.compute_dtype)
     if config.gen_type != "unet":
-        common["warp_windowed"] = config.warp_windowed
+        windowed = config.warp_windowed
+        if windowed is None:
+            windowed = config.batch_size >= 16
+        common["warp_windowed"] = windowed
     if config.gen_type == "stacked":
         gen = StackedGenerator(num_stacks=config.num_stacks, **common)
     elif config.gen_type == "baseline":

@@ -350,3 +350,24 @@ def test_checkpoint_async_failure_surfaces(tmp_path, monkeypatch):
         checkpoint.save(state, str(tmp_path), epoch=1, block=False)
         checkpoint.wait_for_saves()
     assert not list(tmp_path.glob("*.msgpack"))
+
+
+def test_warp_windowed_auto_resolution():
+    """warp_windowed=None resolves by batch size (ops/warp.py sweep:
+    windowed wins at batch >= 16, loses below)."""
+    from pose_transfer_tpu.train.engine import build_models
+
+    gen_small, _ = build_models(small_config(batch_size=8))
+    gen_big, _ = build_models(small_config(batch_size=16))
+    assert gen_small.warp_windowed is False
+    assert gen_big.warp_windowed is True
+    gen_forced, _ = build_models(small_config(batch_size=8,
+                                              warp_windowed=True))
+    assert gen_forced.warp_windowed is True
+    # CLI string forms
+    cfg = GANConfig.from_opt({"image_size": (32, 32), "use_input_pose": 1,
+                              "warp_windowed": "auto"})
+    assert cfg.warp_windowed is None
+    cfg = GANConfig.from_opt({"image_size": (32, 32), "use_input_pose": 1,
+                              "warp_windowed": "1"})
+    assert cfg.warp_windowed is True

@@ -55,7 +55,7 @@ def main() -> None:
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--outdir", default="/tmp/pt_trace")
     ap.add_argument("--mode", default="train", choices=["train", "infer"])
-    ap.add_argument("--windowed", type=int, default=1)
+    ap.add_argument("--windowed", type=int, default=0)
     args = ap.parse_args()
 
     import jax
