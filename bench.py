@@ -35,11 +35,14 @@ def main() -> None:
     from pose_transfer_tpu.train.engine import (
         GANConfig, create_state, make_train_step)
 
-    # batch 32 is the measured throughput-optimal deployment point on v5e
-    # (sweep in CLAUDE.md: 253 @ b8 → 261 @ b32 with the auto-windowed
-    # fold); BENCH_BATCH/BENCH_WINDOWED override for A/B runs
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    # train batch 48 is the measured throughput-optimal point on v5e
+    # (sweep in CLAUDE.md: 253 @ b8 → 263 @ b32 → 265 @ b48 → 253 @ b64
+    # with the auto-windowed fold); the generator FORWARD is HBM-bound and
+    # fastest at batch 8 (352 vs 334 img/s at b32), so infer defaults
+    # differently. BENCH_BATCH/BENCH_WINDOWED override for A/B runs.
     mode = os.environ.get("BENCH_MODE", "train")  # train | infer
+    batch = int(os.environ.get("BENCH_BATCH",
+                               "48" if mode == "train" else "8"))
     ww = os.environ.get("BENCH_WINDOWED", "auto")
     windowed = None if ww == "auto" else ww != "0"
     config = GANConfig(image_size=(256, 256), pose_dim=18, batch_size=batch,
