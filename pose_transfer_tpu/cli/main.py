@@ -59,6 +59,11 @@ def main(argv=None):
     dataset_train = PoseTransferDataset(vars(opt), "train")
     dataset_test = PoseTransferDataset(vars(opt), "test")
     mesh = mesh_from_opt(opt, config)
+    if mesh is not None:
+        import dataclasses
+        # device_count drives the auto warp_windowed rule (per-device batch)
+        config = dataclasses.replace(
+            config, device_count=int(mesh.devices.size))
 
     vgg_params = None
     if config.content_loss_layer != "none" and opt.vgg_weights:
@@ -235,10 +240,12 @@ def _save_samples(opt, config, gen_batch, out, eval_step, state, mesh,
         use_input_pose=config.use_input_pose, warp_skip=config.warp_skip,
         gen_type=config.gen_type, num_stacks=config.num_stacks)
     # explicit mesh handling — a failed unreplicate must raise, not
-    # silently display stale params (VERDICT r1 weak #5)
+    # silently display stale params (VERDICT r1 weak #5); fetch ONLY the
+    # generator params (the full state is ~4× bigger — both nets' params
+    # plus optimizer moments — and this runs every display iteration)
     if mesh is not None:
-        from ..parallel import unreplicate_state
-        gen_params = unreplicate_state(state).gen_params
+        import jax
+        gen_params = jax.device_get(state.gen_params)
     else:
         gen_params = state.gen_params
 

@@ -199,9 +199,10 @@ def mesh_from_opt(opt, config):
 
     An *explicit* ``--num_devices > 1`` that cannot be honored raises — a
     user who asked for N chips must not silently train on one (VERDICT r1
-    weak #5). The auto default (0) falls back quietly to single-device only
-    when just one device is visible; an indivisible batch still raises,
-    since every multi-device config has a working batch size one flag away.
+    weak #5). The auto default (0 = use all visible) instead WARNS and
+    falls back to single-device when the batch does not divide: the
+    reference's own launch recipes (batch 2/4, no device flag) must keep
+    working on a multi-device host.
     """
     if opt.num_devices == 1:
         return None
@@ -209,6 +210,7 @@ def mesh_from_opt(opt, config):
 
     from ..parallel import make_mesh
     avail = len(jax.devices())
+    explicit = opt.num_devices > 1
     n = opt.num_devices or avail
     if n <= 1:
         return None
@@ -217,8 +219,15 @@ def mesh_from_opt(opt, config):
             f"--num_devices {n} requested but only {avail} device(s) "
             f"visible ({[d.platform for d in jax.devices()[:4]]}...)")
     if config.batch_size % n != 0:
-        raise ValueError(
-            f"batch_size {config.batch_size} does not divide over "
-            f"{n} devices; pick a batch size divisible by {n} "
-            f"or set --num_devices 1")
+        if explicit:
+            raise ValueError(
+                f"batch_size {config.batch_size} does not divide over "
+                f"{n} devices; pick a batch size divisible by {n} "
+                f"or set --num_devices 1")
+        import sys
+        print(f"WARNING: batch_size {config.batch_size} does not divide "
+              f"over the {n} visible devices; training single-device "
+              f"(pass --num_devices {n} and a divisible batch size to "
+              f"scale out)", file=sys.stderr)
+        return None
     return make_mesh(n)

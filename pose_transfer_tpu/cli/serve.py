@@ -33,6 +33,11 @@ from .opts import Opts, config_from_opt, mesh_from_opt
 def build_server(opt) -> PoseTransferServer:
     config = config_from_opt(opt)
     mesh = mesh_from_opt(opt, config)
+    if mesh is not None:
+        import dataclasses
+        # device_count drives the auto warp_windowed rule (per-device batch)
+        config = dataclasses.replace(
+            config, device_count=int(mesh.devices.size))
     state, gen, _ = create_state(config, seed=opt.seed)
     if opt.generator_checkpoint:
         state = state.replace(gen_params=checkpoint.load_params(

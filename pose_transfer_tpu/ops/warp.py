@@ -489,9 +489,9 @@ def _fold_windowed(features, warps, masks_r, init_image_size, warp_agg,
         # construction), so this is one fused reduction over the masks —
         # no per-part positional passes. Applied once at the end: the max
         # value is order-independent; only the tie-break index for
-        # exactly-zero winners can differ from the sequential full fold,
-        # and a zero winner's gradient is dropped either way (mask ≡ 0 for
-        # the sequential winner; idx = -1 matches no part here).
+        # exactly-zero winners can differ from the sequential full fold —
+        # idx = -1 drops the gradient, a different (equally valid)
+        # subgradient choice at exact-zero ties.
         if static_empty:
             # a statically-empty part contributes zero at EVERY pixel
             zero_exists = jnp.ones((n, h, w, 1), bool)

@@ -210,7 +210,12 @@ class PoseTransferServer:
                 self._latencies.append(done - t_in)
             del self._latencies[:-1024]  # keep a recent window
         for (_, fut, _), img in zip(items, out_np):
-            fut.set_result(img)
+            # a future can already be failed by submit()'s post-put
+            # close-race check; an unguarded set_result would raise
+            # InvalidStateError here and poison the rest of the batch via
+            # _loop's except clause
+            if not fut.done():
+                fut.set_result(img)
 
     # --------------------------------------------------------------- admin
 

@@ -68,11 +68,16 @@ class GANConfig:
     content_loss_layer: str = "none"
     nn_loss_area_size: int = 1
     warp_backend: str = "matmul"   # 'matmul' (MXU path) | 'exact' (gather)
-    # mask-windowed fold (ops/warp.py): None = auto — on for batch ≥ 16,
-    # where it is the measured win (257-261 vs 236-242 img/s at 256²; the
-    # full fold's layout-copy costs scale super-linearly with batch while
-    # the windowed fold's cond barrier amortizes); off below (253 vs 248)
+    # mask-windowed fold (ops/warp.py): None = auto — on for a
+    # PER-DEVICE batch ≥ 16 on a single device, where it is the measured
+    # win (257-265 vs 236-242 img/s at 256²; the full fold's layout-copy
+    # costs scale super-linearly with batch while the windowed fold's
+    # cond barrier amortizes); off below (253 vs 248), and off under a
+    # mesh (the per-sample dynamic-slice chains index the sharded batch
+    # axis — SPMD lowering unexplored; force with warp_windowed=True
+    # only after measuring)
     warp_windowed: bool | None = None
+    device_count: int = 1          # data-parallel width (set by drivers)
     preprocess_mode: str = "correct"   # VGG preprocess ('reference' quirk opt-in)
     weight_init: str = "xavier"    # 'xavier' (pose_gan.py:51-52) | 'gaussian'
     check_mode: bool = False
@@ -133,7 +138,8 @@ def build_models(config: GANConfig):
     if config.gen_type != "unet":
         windowed = config.warp_windowed
         if windowed is None:
-            windowed = config.batch_size >= 16
+            windowed = (config.device_count == 1
+                        and config.batch_size >= 16)
         common["warp_windowed"] = windowed
     if config.gen_type == "stacked":
         gen = StackedGenerator(num_stacks=config.num_stacks, **common)

@@ -221,6 +221,12 @@ def test_mesh_from_opt_fails_loudly(synth_env, monkeypatch, tmp_path):
     mesh = mesh_from_opt(opt, config_from_opt(opt))
     assert mesh is not None and mesh.devices.size == 8
 
+    # AUTO (num_devices 0) with an indivisible batch falls back to
+    # single-device with a warning — the reference's own launch recipes
+    # (batch 2/4, no device flag) must keep working on multi-device hosts
+    opt = Opts().parse(args + ["--batch_size", "3"])
+    assert mesh_from_opt(opt, config_from_opt(opt)) is None
+
 
 def test_train_multidevice_mesh_cli(synth_env, monkeypatch):
     """End-to-end CLI train on the virtual 8-device mesh takes the mesh

@@ -265,7 +265,7 @@ def test_resume_missing_disc_raises(tmp_path):
     state, _, _ = create_state(config, seed=0)
     checkpoint.save(state, str(tmp_path), epoch=3)
     (tmp_path / "disc_003.msgpack").unlink()
-    with pytest.raises(FileNotFoundError, match="no matching disc"):
+    with pytest.raises(FileNotFoundError, match="matching disc checkpoint"):
         checkpoint.resume(state, str(tmp_path))
 
 
@@ -371,3 +371,15 @@ def test_warp_windowed_auto_resolution():
     cfg = GANConfig.from_opt({"image_size": (32, 32), "use_input_pose": 1,
                               "warp_windowed": "1"})
     assert cfg.warp_windowed is True
+
+
+def test_resume_mismatched_epochs_raises(tmp_path):
+    """gen_N next to disc_{N-1} (killed mid-save — gen writes first) must
+    refuse, not silently pair mismatched epochs."""
+    config = small_config()
+    state, _, _ = create_state(config, seed=0)
+    checkpoint.save(state, str(tmp_path), epoch=4)
+    checkpoint.save(state, str(tmp_path), epoch=5)
+    (tmp_path / "disc_005.msgpack").unlink()
+    with pytest.raises(FileNotFoundError, match="disc_004"):
+        checkpoint.resume(state, str(tmp_path))
