@@ -7,16 +7,23 @@ bilinear weight matrices in HBM; this kernel builds them in VMEM from the
 **Status (v5e via axon, 2026-08): correct but slower than the XLA einsum
 path** — steady-state (warmed, 30-iter) 20.7 ms vs 8.8 ms for the stage-0
 shape (8×256×256×64, T=10). Block-size sweep: OB=XB=16 gives 19.5 ms;
-≥32 fails to compile (VMEM/unroll limits) — so grid overhead is NOT the
-binding cost. The kernel is bound by per-(n,t,column) unit work: the
-(H_out, H_in) VPU ramp build plus an MXU dot with N=C=64 (half a 128-lane
-MXU tile), serialized with the per-output max-fold chain. The XLA path
-pays HBM round-trips for the same weight matrices instead and still wins;
-beating it needs a structurally different kernel (banded weights with
-dynamic sublane windows), whose small-dot latency penciled out worse in
-analysis. ``affine_transform_layer`` therefore defaults to 'matmul'; this
-backend stays available (tested in interpret mode and on hardware) as the
-starting point for future kernel work.
+≥32 fails to compile (VMEM/unroll limits).
+
+Round-2 re-analysis (with the step-level finding that the XLA fold is
+fusion/copy-bound, not MXU-bound — ops/warp.py): the per-cell column
+dots here are only ~86 ns each at half-lane utilization, ×20 480 units
+≈ 1.8 ms — an order of magnitude below the measured 20.7 ms. The binding
+cost is per-grid-cell pipeline overhead (~4 µs across the 5 120 cells of
+the two passes: block DMA issue/wait + kernel prologue), not unit work.
+Consequences for a round-3 revisit: (a) mask-bbox PREDICATION of cell
+bodies (@pl.when) cannot win — the automatic block DMAs are issued
+regardless of the predicate; (b) the rewrite that can win processes ALL
+T parts per cell (one tmp/out residency, T× fewer cells, fold entirely
+in VMEM — also killing the XLA path's super-linear-with-batch layout
+copies) with manually double-buffered DMAs and y-bbox-restricted row
+ranges. Until then ``affine_transform_layer`` defaults to 'matmul'; this
+backend stays available (tested in interpret mode and on hardware) as
+the starting point.
 
 Math (identical to ``ops.warp.warp_feature_matmul``):
   pass 1 (vertical):   tmp[o, x, c] = Σ_y ramp(v(x,o) − y) · f[y, x, c]
