@@ -35,20 +35,21 @@ def main() -> None:
     from pose_transfer_tpu.train.engine import (
         GANConfig, create_state, make_train_step)
 
-    # train batch 48 is the measured throughput-optimal point on v5e
-    # (sweep in CLAUDE.md: 253 @ b8 → 263 @ b32 → 265 @ b48 → 253 @ b64
-    # with the auto-windowed fold); the generator FORWARD is HBM-bound and
-    # fastest at batch 8 (352 vs 334 img/s at b32), so infer defaults
-    # differently. BENCH_BATCH/BENCH_WINDOWED override for A/B runs.
+    # train batch 32 is the measured throughput-optimal point on v5e with
+    # the kernel-placed windowed fold (sweep in CLAUDE.md: 281 @ b8 →
+    # 294 @ b16 → 296.5 @ b32 → 290 @ b48 → OOM @ b64); infer is HBM-bound
+    # and fastest at batch 8 (381 img/s kernel-windowed).
+    # BENCH_BATCH/BENCH_WINDOWED/BENCH_PLACE override for A/B runs.
     mode = os.environ.get("BENCH_MODE", "train")  # train | infer
     batch = int(os.environ.get("BENCH_BATCH",
-                               "48" if mode == "train" else "8"))
+                               "32" if mode == "train" else "8"))
     ww = os.environ.get("BENCH_WINDOWED", "auto")
     windowed = None if ww == "auto" else ww != "0"
     config = GANConfig(image_size=(256, 256), pose_dim=18, batch_size=batch,
                        warp_skip="mask", gen_type="baseline",
                        training_ratio=1, compute_dtype=jnp.bfloat16,
-                       warp_windowed=windowed)
+                       warp_windowed=windowed,
+                       warp_place=os.environ.get("BENCH_PLACE", "auto"))
     state, gen, disc = create_state(config, seed=0)
     if mode == "infer":
         _bench_infer(config, gen, state)

@@ -190,6 +190,7 @@ class DeformableGenerator(nn.Module):
     num_warp_stages: int = 4       # warp only the first 4 skips
     warp_backend: str = "matmul"   # 'matmul' (MXU) | 'exact' (gather)
     warp_windowed: bool = False    # opt-in mask-windowed fold (ops/warp.py)
+    warp_place: str = "auto"       # windowed placement: 'auto'|'kernel'|'xla'
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -225,7 +226,8 @@ class DeformableGenerator(nn.Module):
                     self.warp_skip, self.warp_agg,
                     backend=self.warp_backend,
                     windowed=self.warp_windowed,
-                    static_empty=static_empty)
+                    static_empty=static_empty,
+                    place_impl=self.warp_place)
                 skips.append(jnp.concatenate([warped, sk_pose], axis=-1))
             else:
                 skips.append(jnp.concatenate([sk_app, sk_pose], axis=-1))
@@ -265,6 +267,7 @@ class StackedGenerator(nn.Module):
     use_input_pose: bool = True
     warp_backend: str = "matmul"
     warp_windowed: bool = False
+    warp_place: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -276,7 +279,7 @@ class StackedGenerator(nn.Module):
             self.pose_dim, self.image_size, self.nfilters_enc,
             self.nfilters_dec, self.warp_skip, self.warp_agg,
             self.use_input_pose, warp_backend=self.warp_backend,
-            warp_windowed=self.warp_windowed,
+            warp_windowed=self.warp_windowed, warp_place=self.warp_place,
             dtype=self.dtype, name="generator")
 
         init_img, init_pose, _ = pose_ops.get_imgpose(

@@ -293,18 +293,23 @@ def _warp_batch_t(g, warps_t, init_image_size):
 # bounding-box window. Exact — see warp_fold_matmul's docstring.
 # ---------------------------------------------------------------------------
 
-def _support_windows(masks_r: jax.Array, s_y: int, s_x: int):
+def _support_windows(masks_r: jax.Array, s_y: int, s_x: int,
+                     x_align: int = 1):
     """Window starts + flags from the resized masks' nonzero support.
 
     Args:
       masks_r: (N, T, h, w) nonnegative part masks at feature resolution.
       s_y, s_x: static window sizes (h//2, w//2).
+      x_align: round x starts DOWN to this multiple (the Pallas placement
+        kernel needs sublane-aligned window columns; 1 = no alignment).
+        ``fits`` accounts for the rounding, so alignment only shrinks the
+        set of batches that take the windowed path, never changes results.
 
     Returns:
       y0, x0: (N, T) int32 window starts, clipped so the window stays
         in-bounds; positioned to cover the mask's support when it fits.
-      fits: (N, T) bool — support extent ≤ window along both axes (empty
-        masks fit trivially).
+      fits: (N, T) bool — the (aligned, clipped) window covers the support
+        (empty masks fit trivially).
       empty: (N, T) bool — mask has no nonzero pixel (sentinel transforms:
         core.transforms_host NO_POINT_TR → empty polygon → all-zero mask).
     """
@@ -322,9 +327,17 @@ def _support_windows(masks_r: jax.Array, s_y: int, s_x: int):
     fy, ly = first_last(rows, h)
     fx, lx = first_last(cols, w)
     empty = ly < 0
-    fits = ((ly - fy + 1) <= s_y) & ((lx - fx + 1) <= s_x) | empty
     y0 = jnp.clip(jnp.where(empty, 0, fy), 0, h - s_y)
-    x0 = jnp.clip(jnp.where(empty, 0, fx), 0, w - s_x)
+    x0 = jnp.where(empty, 0, fx)
+    if x_align > 1:
+        x0 = (x0 // x_align) * x_align
+        x_max = ((w - s_x) // x_align) * x_align
+    else:
+        x_max = w - s_x
+    x0 = jnp.clip(x0, 0, x_max)
+    # coverage form: equivalent to extent ≤ size when x_align == 1 (a
+    # clipped start still covers the support iff the extent fits)
+    fits = ((ly <= y0 + s_y - 1) & (lx <= x0 + s_x - 1)) | empty
     return y0, x0, fits, empty
 
 
@@ -581,7 +594,7 @@ def _fold_windowed_bwd(g, warps, masks_r, idx, init_image_size, warp_agg,
     return df
 
 
-def _fold_windows(masks_r, h, w, windowed):
+def _fold_windows(masks_r, h, w, windowed, x_align=1):
     """The ``_support_windows`` tuple when windowing is enabled, else None.
 
     Windowing requires masks (each part's contribution must vanish outside
@@ -594,16 +607,130 @@ def _fold_windows(masks_r, h, w, windowed):
         return None
     if h % 2 or w % 2 or min(h // 2, w // 2) < 32:
         return None
-    return _support_windows(masks_r, h // 2, w // 2)
+    return _support_windows(masks_r, h // 2, w // 2, x_align)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _place_offs(y0, x0, actives):
+    """(N, P, 3) int32 [y0, x0, part_index] rows for the placement kernels."""
+    n = y0.shape[0]
+    cols = [jnp.stack([y0[:, i], x0[:, i],
+                       jnp.full((n,), i, y0.dtype)], -1) for i in actives]
+    return jnp.stack(cols, 1).astype(jnp.int32)
+
+
+def _place_actives(t, static_empty):
+    """Fold order of the windowed (non-body) parts for the placement
+    kernel; idx stores these ORIGINAL part indices (windowed-branch
+    convention, matching ``_fold_windowed``)."""
+    return tuple(i for i in range(1, t) if i not in static_empty)
+
+
+def _use_place_kernel(place_impl, h, w, c, t, warp_agg, has_masks, windowed,
+                      static_empty):
+    """Resolve the placement implementation for the windowed fold.
+
+    'xla' keeps the dynamic-slice/update chains (any backend); 'kernel'
+    uses the Pallas placement kernels (``ops.warp_fused``) — on non-TPU
+    backends they run in interpret mode (slow; tests only). 'auto' picks
+    the kernel on TPU when the shape qualifies.
+    """
+    if place_impl == "xla" or not windowed or not has_masks \
+            or warp_agg != "max":
+        return False
+    if h % 2 or w % 2 or min(h // 2, w // 2) < 32:
+        return False
+    from . import warp_fused
+    if not warp_fused.supported(h, w, c, h // 2, w // 2) \
+            or not _place_actives(t, static_empty):
+        return False
+    if place_impl == "kernel":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _fold_windowed_place(features, warps, masks_r, init_image_size,
+                         windows, static_empty=()):
+    """Kernel-placed windowed max fold: XLA computes the body warp and the
+    pre-masked windowed part warps (batched einsums); the Pallas placement
+    kernel does the per-sample window placement + max/argmax bookkeeping
+    that XLA could only express as per-sample dynamic-slice/update chains
+    (the dominant fold cost at batch ≥ 16 — see ops/warp_fused.py).
+
+    Same semantics as ``_fold_windowed`` with bf16 argmax: strict ``>``
+    (earliest part wins ties), zero-contribution pass with idx = -1 for
+    exactly-zero winners.
+    """
+    from . import warp_fused
+
+    n, h, w, c = features.shape
+    t = warps.shape[1]
+    y0, x0, _, _ = windows
+    s_y, s_x = h // 2, w // 2
+    actives = _place_actives(t, static_empty)
+
+    body = _warp_batch(features, warps[:, 0], init_image_size)
+    body = body * masks_r[:, 0][..., None]
+    wins = []
+    for i in actives:
+        win = _warp_batch_win(features, warps[:, i], y0[:, i], x0[:, i],
+                              s_y, s_x, init_image_size)
+        mwin = _slice_win(masks_r[:, i], y0[:, i], x0[:, i], s_y, s_x)
+        wins.append(win * mwin[..., None])
+    wins = jnp.stack(wins, axis=1)
+    offs = _place_offs(y0, x0, actives)
+
+    interpret = jax.default_backend() != "tpu"
+    out, idx = warp_fused.fold_place(body, wins, offs, interpret)
+
+    if static_empty:
+        zero_exists = jnp.ones((n, h, w, 1), bool)
+    else:
+        zero_exists = (masks_r[:, 1:] == 0).any(axis=1)[..., None]
+    take0 = zero_exists & (out < 0)
+    out = jnp.where(take0, jnp.zeros((), out.dtype), out)
+    idx = jnp.where(take0, jnp.asarray(-1, idx.dtype), idx)
+    return out, idx
+
+
+def _fold_windowed_place_bwd(g, warps, masks_r, idx, init_image_size,
+                             windows, static_empty=()):
+    """Backward of ``_fold_windowed_place``: the routing kernel slices the
+    cotangent/argmax windows per part; XLA keeps the transposed einsums."""
+    from . import warp_fused
+
+    n, h, w, c = g.shape
+    t = warps.shape[1]
+    y0, x0, _, _ = windows
+    s_y, s_x = h // 2, w // 2
+    actives = _place_actives(t, static_empty)
+
+    gm0 = jnp.where(idx == jnp.asarray(0, idx.dtype), g,
+                    jnp.zeros((), g.dtype))
+    gm0 = gm0 * masks_r[:, 0][..., None]
+    df = _warp_batch_t(gm0.astype(g.dtype), warps[:, 0],
+                       init_image_size).astype(jnp.float32)
+
+    offs = _place_offs(y0, x0, actives)
+    interpret = jax.default_backend() != "tpu"
+    gwins = warp_fused.fold_route(g, idx, offs, s_y, s_x, interpret)
+
+    for k, i in enumerate(actives):
+        mwin = _slice_win(masks_r[:, i], y0[:, i], x0[:, i], s_y, s_x)
+        gm = gwins[:, k] * mwin[..., None]
+        back = _warp_batch_t_win(gm.astype(g.dtype), warps[:, i],
+                                 y0[:, i], x0[:, i], h, w, init_image_size)
+        df = df + back.astype(jnp.float32)
+    return df
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def warp_fold_matmul(features: jax.Array, warps: jax.Array,
                      masks_r: jax.Array | None,
                      init_image_size: tuple[int, int],
                      warp_agg: str = "max",
                      windowed: bool = False,
-                     static_empty: tuple[int, ...] = ()) -> jax.Array:
+                     static_empty: tuple[int, ...] = (),
+                     place_impl: str = "xla") -> jax.Array:
     """agg_t(two-pass-warp_t(features) · mask_t) with a hand-written VJP.
 
     Autodiff of the T-fold would either save every per-transform warped map
@@ -674,34 +801,61 @@ def warp_fold_matmul(features: jax.Array, warps: jax.Array,
     Gradients for ``warps``/``masks_r`` are defined as zero: both are
     host-estimated data (reference semantics — pose_transform.py's transforms
     never receive gradients), matching the 'exact' backend's stop_gradient.
+
+    ``place_impl`` ('xla' | 'kernel' | 'auto', static): how the windowed
+    branch places part windows into the accumulator — the XLA
+    dynamic-slice/update chains, or the Pallas placement kernels
+    (``ops.warp_fused``; 'auto' = kernel on TPU when the shape qualifies).
+    The kernel path stores the argmax as bf16 instead of int8 (Mosaic
+    scalarizes int8 selects), including in its full-fold fallback branch.
     """
     out, _ = _fold_fwd(features, warps, masks_r, init_image_size, warp_agg,
-                       windowed, static_empty)
+                       windowed, static_empty, place_impl)
     return out
 
 
 def _fold_fwd(features, warps, masks_r, init_image_size, warp_agg, windowed,
-              static_empty=()):
+              static_empty=(), place_impl="xla"):
     n, h, w, c = features.shape
-    windows = _fold_windows(masks_r, h, w, windowed)
+    t = warps.shape[1]
+    use_kernel = _use_place_kernel(place_impl, h, w, c, t, warp_agg,
+                                   masks_r is not None, windowed,
+                                   static_empty)
+    windows = _fold_windows(masks_r, h, w, windowed,
+                            x_align=32 if use_kernel else 1)
     if windows is None:
         out, idx = _fold_scan(features, warps, masks_r, init_image_size,
                               warp_agg, static_empty)
         return out, (warps, masks_r, idx, None)
     all_fit = jnp.all(windows[2][:, 1:])  # body runs full in both branches
-    out, idx = jax.lax.cond(
-        all_fit,
-        lambda _: _fold_windowed(features, warps, masks_r, init_image_size,
-                                 warp_agg, windows, static_empty),
-        lambda _: _fold_scan(features, warps, masks_r, init_image_size,
-                             warp_agg, static_empty),
-        None)
+
+    def scan_branch(_):
+        out, idx = _fold_scan(features, warps, masks_r, init_image_size,
+                              warp_agg, static_empty)
+        # the cond's branches must agree on the idx dtype; the kernel
+        # branch uses bf16 (see warp_fold_matmul docstring)
+        if use_kernel and idx is not None:
+            idx = idx.astype(jnp.bfloat16)
+        return out, idx
+
+    if use_kernel:
+        win_branch = lambda _: _fold_windowed_place(  # noqa: E731
+            features, warps, masks_r, init_image_size, windows, static_empty)
+    else:
+        win_branch = lambda _: _fold_windowed(  # noqa: E731
+            features, warps, masks_r, init_image_size, warp_agg, windows,
+            static_empty)
+    out, idx = jax.lax.cond(all_fit, win_branch, scan_branch, None)
     return out, (warps, masks_r, idx, windows)
 
 
-def _fold_bwd(init_image_size, warp_agg, windowed, static_empty, res, g):
+def _fold_bwd(init_image_size, warp_agg, windowed, static_empty, place_impl,
+              res, g):
     warps, masks_r, idx, windows = res
     t = warps.shape[1]
+    use_kernel = windows is not None and _use_place_kernel(
+        place_impl, g.shape[1], g.shape[2], g.shape[3], t, warp_agg,
+        masks_r is not None, windowed, static_empty)
 
     def back_full(_):
         # mirror _fold_scan's static compaction: idx stores COMPACTED
@@ -714,7 +868,7 @@ def _fold_bwd(init_image_size, warp_agg, windowed, static_empty, res, g):
 
         def body(i, df):
             if warp_agg == "max":
-                gm = jnp.where(idx == i.astype(jnp.int8), g, 0)
+                gm = jnp.where(idx == i.astype(idx.dtype), g, 0)
             else:
                 gm = g / t
             if masks_a is not None:
@@ -728,6 +882,13 @@ def _fold_bwd(init_image_size, warp_agg, windowed, static_empty, res, g):
 
     if windows is None:
         df = back_full(None)
+    elif use_kernel:
+        df = jax.lax.cond(
+            jnp.all(windows[2][:, 1:]),
+            lambda _: _fold_windowed_place_bwd(g, warps, masks_r, idx,
+                                               init_image_size, windows,
+                                               static_empty),
+            back_full, None)
     else:
         df = jax.lax.cond(
             jnp.all(windows[2][:, 1:]),
@@ -745,7 +906,7 @@ warp_fold_matmul.defvjp(_fold_fwd, _fold_bwd)
 @functools.partial(jax.jit,
                    static_argnames=("init_image_size", "warp_skip",
                                     "warp_agg", "backend", "windowed",
-                                    "static_empty"))
+                                    "static_empty", "place_impl"))
 def affine_transform_layer(features: jax.Array, warps: jax.Array,
                            masks: jax.Array | None,
                            init_image_size: tuple[int, int],
@@ -753,7 +914,8 @@ def affine_transform_layer(features: jax.Array, warps: jax.Array,
                            warp_agg: str = "max",
                            backend: str = "matmul",
                            windowed: bool = False,
-                           static_empty: tuple[int, ...] = ()) -> jax.Array:
+                           static_empty: tuple[int, ...] = (),
+                           place_impl: str = "auto") -> jax.Array:
     """Warp + (mask) + aggregate over the T part transforms.
 
     Args:
@@ -806,7 +968,7 @@ def affine_transform_layer(features: jax.Array, warps: jax.Array,
         # `windowed` additionally restricts each part's contraction to its
         # mask's bounding-box window (bit-exact; see warp_fold_matmul).
         return warp_fold_matmul(features, warps, masks_r, init_image_size,
-                                warp_agg, windowed, static_empty)
+                                warp_agg, windowed, static_empty, place_impl)
 
     neg_inf = jnp.asarray(-jnp.inf, features.dtype)
 

@@ -1,0 +1,218 @@
+"""Pallas TPU kernels: windowed warp-fold placement and backward routing.
+
+The deformable warp fold (reference: src_deformable/utils/pose_transform.py
+:60-92) is max_t(warp_t(features)·mask_t). The XLA windowed fold
+(``ops.warp._fold_windowed``) computes each part's warp only inside its mask
+bounding-box window — but places the windows into the running max/argmax
+with per-sample ``dynamic_slice``/``dynamic_update_slice`` chains (XLA has
+no batched-offset window update that doesn't lower to scatter). At batch 48
+those chains are the train step's single biggest cost: 116 ms/step of
+gather/scatter events plus the accumulator's per-part HBM round trips
+(tools/profile_trace.py, 2026-08-17).
+
+These kernels replace exactly that bookkeeping — placement, mask-zero
+semantics, max, argmax — while XLA keeps what it is good at (the batched
+ramp-build einsums of the warps themselves):
+
+- ``fold_place``: grid (N, P), parts innermost. The out/argmax blocks stay
+  resident in VMEM across all parts of a sample (Mosaic revisiting), so the
+  fold's accumulator traffic is ONE write instead of P round trips, and
+  window placement is a VMEM slice at a dynamic (sublane-aligned) offset
+  instead of a dispatched XLA op per sample.
+- ``fold_route``: the backward's router — slices the cotangent/argmax
+  windows and zeroes non-winning lanes, emitting the stacked per-part
+  window cotangents that feed XLA's transposed einsums.
+
+Both kernels are pure VPU (no dots): their cost is the window traffic
+itself.
+
+Dead ends measured on v5e (stage-0 shape 8×256×256×64, T=10, bf16) so they
+are not revisited:
+- whole-sample fused two-pass warp kernel (grid (N,), T-part loop with
+  pass1→transpose→pass2 per part, fold in VMEM): 100.8 ms vs 9.2 ms for
+  the XLA full fold. Ablation: pass-1 dots 7.7 ms (ramp build fused, ~free),
+  the chunked in-VMEM transpose +5.2 ms, pass-2 +4.7 ms, and **int8 argmax
+  select/store +83 ms — Mosaic scalarizes int8 selects** (an int8-argmax
+  variant ran 11 232 ms vs 11.7 ms with a bfloat16 argmax). Even with the
+  bf16 fix the design floors at ~18 ms: 5 120 sequential (256,256)@(256,64)
+  dots cost ~2.3 µs each in fori_loop (no cross-iteration pipelining), 2.7×
+  the XLA einsums' fused schedule. Conclusion: don't fight XLA's batched
+  GEMMs; fuse the bookkeeping instead. Argmax is bfloat16 in-kernel always
+  (exact for part indices ≤ 9 and the -1 sentinel).
+
+Mosaic rules honoured: no int8 anywhere, compares in f32, dynamic starts
+only on outer dims or 32-aligned sublane starts (window x-starts are
+32-aligned by ``ops.warp._support_windows(x_align=32)``), int32 iota only.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+RCH = 8        # rows per placement chunk
+X_ALIGN = 32   # window x-start alignment (sublane tile, all dtypes used)
+
+
+def _vmem_params():
+    # v5e scoped VMEM tops out at 128 MiB; C=64 blocks lane-pad to 128 so
+    # budgets run ~2x the nominal buffer sizes.
+    return pltpu.CompilerParams(vmem_limit_bytes=127 * 1024 * 1024)
+
+
+def _place_kernel(offs_ref, body_ref, wins_ref, out_ref, idx_ref):
+    """One (sample, part) cell: strict-> max-update of the part's window.
+
+    offs_ref: (1, P, 3) SMEM int32 [y0, x0, part_index] per part
+    (x0 32-aligned; part_index is the original part number stored into
+    the argmax).
+    body_ref: (1, H, W, C) pre-masked body warp (initialises the fold).
+    wins_ref: (1, 1, SY, SX, C) this part's pre-masked windowed warp.
+    out_ref/idx_ref: (1, H, W, C) running max / bf16 argmax — resident in
+    VMEM across the part dimension (innermost grid dim, constant index map).
+    """
+    p = pl.program_id(1)
+    sy, sx = wins_ref.shape[2], wins_ref.shape[3]
+    w, c = out_ref.shape[2], out_ref.shape[3]
+
+    @pl.when(p == 0)
+    def _():
+        out_ref[...] = body_ref[...]
+        idx_ref[...] = jnp.zeros(idx_ref.shape, idx_ref.dtype)
+
+    y0 = offs_ref[0, p, 0]
+    x0 = pl.multiple_of(offs_ref[0, p, 1], X_ALIGN)
+    pv = offs_ref[0, p, 2].astype(jnp.float32).astype(jnp.bfloat16)
+
+    def chunk(i, _):
+        r0 = y0 + i * RCH
+        cur = out_ref[0, pl.ds(r0, RCH), pl.ds(x0, sx), :]
+        z = wins_ref[0, 0, pl.ds(i * RCH, RCH)]
+        take = z.astype(jnp.float32) > cur.astype(jnp.float32)
+        out_ref[0, pl.ds(r0, RCH), pl.ds(x0, sx), :] = \
+            jnp.where(take, z, cur)
+        curi = idx_ref[0, pl.ds(r0, RCH), pl.ds(x0, sx), :]
+        idx_ref[0, pl.ds(r0, RCH), pl.ds(x0, sx), :] = \
+            jnp.where(take, jnp.broadcast_to(pv, (RCH, sx, c)), curi)
+        return 0
+
+    jax.lax.fori_loop(0, sy // RCH, chunk, 0)
+
+
+def fold_place(body: jax.Array, wins: jax.Array, offs: jax.Array,
+               interpret: bool = False):
+    """Window-placement max fold.
+
+    Args:
+      body: (N, H, W, C) pre-masked full-resolution body warp (part 0).
+      wins: (N, P, SY, SX, C) pre-masked windowed part warps, in fold order.
+      offs: (N, P, 3) int32 [y0, x0, part_index] per part; x0 32-aligned,
+        windows fully in-bounds (``_support_windows`` guarantees both),
+        part_index = original part number stored into the argmax.
+
+    Returns:
+      out: (N, H, W, C) max-fold (before the caller's zero-contribution
+        pass); idx: (N, H, W, C) bf16 argmax part index.
+    """
+    n, h, w, c = body.shape
+    p = wins.shape[1]
+    sy, sx = wins.shape[2], wins.shape[3]
+
+    return pl.pallas_call(
+        _place_kernel,
+        grid=(n, p),
+        in_specs=[
+            pl.BlockSpec((1, p, 3), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sy, sx, c), lambda i, j: (i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, h, w, c), body.dtype),
+            jax.ShapeDtypeStruct((n, h, w, c), jnp.bfloat16),
+        ],
+        compiler_params=_vmem_params(),
+        interpret=interpret,
+    )(offs, body, wins)
+
+
+def _route_kernel(offs_ref, g_ref, idx_ref, gwin_ref):
+    """One (sample, part) cell: route the cotangent window to this part.
+
+    gwin = g[window] where idx[window] == part else 0.
+    g_ref/idx_ref blocks are resident across the part dimension.
+    """
+    p = pl.program_id(1)
+    sy, sx = gwin_ref.shape[2], gwin_ref.shape[3]
+
+    y0 = offs_ref[0, p, 0]
+    x0 = pl.multiple_of(offs_ref[0, p, 1], X_ALIGN)
+    pv = offs_ref[0, p, 2].astype(jnp.float32)
+
+    def chunk(i, _):
+        r0 = y0 + i * RCH
+        gw = g_ref[0, pl.ds(r0, RCH), pl.ds(x0, sx), :]
+        iw = idx_ref[0, pl.ds(r0, RCH), pl.ds(x0, sx), :]
+        sel = iw.astype(jnp.float32) == pv
+        gwin_ref[0, 0, pl.ds(i * RCH, RCH)] = \
+            jnp.where(sel, gw, jnp.zeros((), gw.dtype))
+        return 0
+
+    jax.lax.fori_loop(0, sy // RCH, chunk, 0)
+
+
+def fold_route(g: jax.Array, idx: jax.Array, offs: jax.Array,
+               sy: int, sx: int, interpret: bool = False) -> jax.Array:
+    """Backward router: stacked per-part window cotangents.
+
+    Args:
+      g: (N, H, W, C) fold cotangent.
+      idx: (N, H, W, C) bf16 argmax from ``fold_place`` (after the caller's
+        zero pass — -1 entries route to no part).
+      offs: as in ``fold_place``.
+      sy, sx: static window sizes.
+
+    Returns:
+      (N, P, SY, SX, C) routed window cotangents (unmasked — the caller
+      multiplies the mask windows into XLA's transposed einsums).
+    """
+    n, h, w, c = g.shape
+    p = offs.shape[1]
+
+    return pl.pallas_call(
+        _route_kernel,
+        grid=(n, p),
+        in_specs=[
+            pl.BlockSpec((1, p, 3), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, sy, sx, c),
+                               lambda i, j: (i, j, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, p, sy, sx, c), g.dtype),
+        compiler_params=_vmem_params(),
+        interpret=interpret,
+    )(offs, g, idx)
+
+
+def supported(h: int, w: int, c: int, s_y: int, s_x: int) -> bool:
+    """Shapes the placement kernels handle: chunked rows, sublane-tileable
+    window width/starts, lane-tileable channels."""
+    return (s_y % RCH == 0 and s_x % 16 == 0 and w % X_ALIGN == 0
+            and c % 8 == 0)

@@ -68,15 +68,19 @@ class GANConfig:
     content_loss_layer: str = "none"
     nn_loss_area_size: int = 1
     warp_backend: str = "matmul"   # 'matmul' (MXU path) | 'exact' (gather)
-    # mask-windowed fold (ops/warp.py): None = auto — on for a
-    # PER-DEVICE batch ≥ 16 on a single device, where it is the measured
-    # win (257-265 vs 236-242 img/s at 256²; the full fold's layout-copy
-    # costs scale super-linearly with batch while the windowed fold's
-    # cond barrier amortizes); off below (253 vs 248), and off under a
-    # mesh (the per-sample dynamic-slice chains index the sharded batch
-    # axis — SPMD lowering unexplored; force with warp_windowed=True
-    # only after measuring)
+    # mask-windowed fold (ops/warp.py): None = auto. With the Pallas
+    # placement kernels available (TPU + warp_place != 'xla') windowing
+    # wins at EVERY batch (280-297 vs 236-265 img/s at 256²; 381 vs 346
+    # infer at b8 — sweep in CLAUDE.md), so auto = on. With XLA placement
+    # the per-sample dynamic-slice chains only amortize at a PER-DEVICE
+    # batch ≥ 16 (257-265 vs 236-242; off below: 253 vs 248). Off under a
+    # mesh either way (the chains/kernels index the sharded batch axis —
+    # SPMD lowering unexplored; force with warp_windowed=True only after
+    # measuring)
     warp_windowed: bool | None = None
+    # windowed-fold placement implementation (ops/warp_fused.py): 'auto' =
+    # Pallas placement kernels on TPU, XLA slice/update chains elsewhere
+    warp_place: str = "auto"
     device_count: int = 1          # data-parallel width (set by drivers)
     preprocess_mode: str = "correct"   # VGG preprocess ('reference' quirk opt-in)
     weight_init: str = "xavier"    # 'xavier' (pose_gan.py:51-52) | 'gaussian'
@@ -138,9 +142,12 @@ def build_models(config: GANConfig):
     if config.gen_type != "unet":
         windowed = config.warp_windowed
         if windowed is None:
+            kernel_place = (config.warp_place != "xla"
+                            and jax.default_backend() == "tpu")
             windowed = (config.device_count == 1
-                        and config.batch_size >= 16)
+                        and (kernel_place or config.batch_size >= 16))
         common["warp_windowed"] = windowed
+        common["warp_place"] = config.warp_place
     if config.gen_type == "stacked":
         gen = StackedGenerator(num_stacks=config.num_stacks, **common)
     elif config.gen_type == "baseline":

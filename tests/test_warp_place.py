@@ -1,0 +1,116 @@
+"""Pallas placement kernels (ops/warp_fused.py) vs the XLA windowed fold.
+
+Runs on the CPU test mesh: ``place_impl='kernel'`` auto-falls back to
+Pallas interpret mode off-TPU (``ops.warp._fold_windowed_place``), so these
+pin the kernel's *semantics*; hardware parity was verified bit-exact on
+v5e (see ops/warp_fused.py).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pose_transfer_tpu.ops.warp import (
+    _support_windows,
+    warp_fold_matmul,
+)
+
+N, H, W, C, T = 2, 64, 64, 16, 4
+IMG = (H, W)
+
+
+def _inputs(fit=True, dtype=jnp.float32):
+    rng = np.random.RandomState(0)
+    f = jnp.asarray(rng.randn(N, H, W, C), dtype)
+    warps = np.tile(np.array([1, 0, 0, 0, 1, 0, 0, 0], np.float32),
+                    (N, T, 1))
+    warps[:, 1] = [0.9, 0.1, 3.0, -0.15, 1.05, -2.0, 0, 0]
+    warps[:, 2] = [1.2, -0.3, -5.0, 0.2, 0.8, 4.0, 0, 0]
+    warps[:, 3] = [1, 0, 1000, 0, 1, 1000, 0, 0]   # sentinel
+    masks = np.zeros((N, T, H, W), np.float32)
+    masks[:, 0] = 1.0
+    if fit:
+        masks[:, 1, 5:30, 8:30] = 1.0    # fits an aligned 32x32 window
+        masks[:, 2, 40:60, 33:60] = 1.0
+    else:
+        masks[:, 1] = 1.0                # sprawls: windowed cond falls back
+        masks[:, 2, 40:60, 33:60] = 1.0
+    # part 3 mask stays empty (sentinel)
+    g = jnp.asarray(rng.randn(N, H, W, C), dtype)
+    return f, jnp.asarray(warps), jnp.asarray(masks, dtype), g
+
+
+@pytest.mark.parametrize("fit", [True, False])
+def test_kernel_placement_matches_xla_windowed(fit):
+    f, warps, masks, g = _inputs(fit)
+
+    def run(place):
+        fold = lambda x: warp_fold_matmul(  # noqa: E731
+            x, warps, masks, IMG, "max", True, (), place)
+        out, vjp = jax.vjp(fold, f)
+        return out, vjp(g)[0]
+
+    out_x, df_x = run("xla")
+    out_k, df_k = run("kernel")
+    # placement itself is exact; only window *alignment* differs between
+    # the impls, and the windowed warp is a bit-exact subset either way
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(df_k), np.asarray(df_x),
+                               atol=1e-6)
+
+
+def test_kernel_placement_matches_full_fold():
+    f, warps, masks, g = _inputs(fit=True)
+    fold_full = lambda x: warp_fold_matmul(x, warps, masks, IMG)  # noqa
+    fold_k = lambda x: warp_fold_matmul(  # noqa: E731
+        x, warps, masks, IMG, "max", True, (), "kernel")
+    out_f, vjp_f = jax.vjp(fold_full, f)
+    out_k, vjp_k = jax.vjp(fold_k, f)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_f),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vjp_k(g)[0]),
+                               np.asarray(vjp_f(g)[0]), atol=1e-5)
+
+
+def test_kernel_placement_with_static_empty():
+    f, warps, masks, g = _inputs(fit=True)
+    se = (3,)
+    fold_x = lambda x: warp_fold_matmul(  # noqa: E731
+        x, warps, masks, IMG, "max", True, se, "xla")
+    fold_k = lambda x: warp_fold_matmul(  # noqa: E731
+        x, warps, masks, IMG, "max", True, se, "kernel")
+    out_x, vjp_x = jax.vjp(fold_x, f)
+    out_k, vjp_k = jax.vjp(fold_k, f)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vjp_k(g)[0]),
+                               np.asarray(vjp_x(g)[0]), atol=1e-6)
+
+
+def test_aligned_support_windows_cover_and_fit():
+    """x_align=32 starts stay 32-aligned, in-bounds, and cover the support
+    whenever ``fits``; rounding only ever turns fits off, never on."""
+    rng = np.random.RandomState(1)
+    masks = np.zeros((4, 3, H, W), np.float32)
+    for n in range(4):
+        for t in range(3):
+            y0, x0 = rng.randint(0, H - 8, 2)
+            hh, ww = rng.randint(4, 40, 2)
+            masks[n, t, y0:min(H, y0 + hh), x0:min(W, x0 + ww)] = 1.0
+    m = jnp.asarray(masks)
+    s = H // 2
+    y0a, x0a, fits_a, empty_a = map(np.asarray,
+                                    _support_windows(m, s, s, x_align=32))
+    y0u, x0u, fits_u, empty_u = map(np.asarray, _support_windows(m, s, s))
+    assert (x0a % 32 == 0).all() and (x0a + s <= W).all()
+    assert (fits_a <= fits_u).all()      # alignment can only shrink fits
+    nz = masks > 0
+    for n in range(4):
+        for t in range(3):
+            if not fits_a[n, t] or empty_a[n, t]:
+                continue
+            ys, xs = np.where(nz[n, t])
+            assert ys.min() >= y0a[n, t] and ys.max() < y0a[n, t] + s
+            assert xs.min() >= x0a[n, t] and xs.max() < x0a[n, t] + s
