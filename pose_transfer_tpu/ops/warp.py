@@ -43,11 +43,12 @@ Round-2 correction: the fold is NOT MXU-bound — only ~7 ms of its ~50 ms
 per 256²/b8 step is dot-FLOP floor; the rest is fused ramp builds (VPU),
 full-res max/idx update traffic, and inter-pass layout copies. The
 mask-bounding-box windowed fold (warp_fold_matmul windowed=True) cuts the
-contractions exactly and wins at batch ≥ 16 (257-261 vs 236-242 img/s)
-where the full fold's copy costs scale super-linearly; at batch 8 its
-slice/dus + cond overheads lose (248 vs 253). The engine auto-selects by
-batch (GANConfig.warp_windowed=None). Full verdict + variant sweeps in
-warp_fold_matmul's docstring.
+contractions exactly. With XLA placement (per-sample slice/dus chains) it
+wins at batch ≥ 16 (257-265 vs 236-242 img/s); with the round-2 Pallas
+placement kernels (ops/warp_fused.py, place_impl='auto' on TPU) it wins
+at EVERY batch (281-303 img/s train, 381 infer), so the engine
+auto-selects windowing unconditionally on TPU (GANConfig.warp_windowed=
+None). Full verdict + variant sweeps in warp_fold_matmul's docstring.
 int8 quantized dots (2× MXU peak on v5e) also measured SLOWER through XLA
 (16.6 vs 12.0 ms for the stage-0 fold forward) — the quantize/requantize
 elementwise passes and the int8 lowering eat the gain.
@@ -594,20 +595,44 @@ def _fold_windowed_bwd(g, warps, masks_r, idx, init_image_size, warp_agg,
     return df
 
 
-def _fold_windows(masks_r, h, w, windowed, x_align=1):
+def _fold_windows(masks_r, h, w, windowed, x_align=1, sizes=None):
     """The ``_support_windows`` tuple when windowing is enabled, else None.
 
     Windowing requires masks (each part's contribution must vanish outside
     its support), even spatial dims, and windows big enough that the MXU
     doesn't run sub-tile (min(S) ≥ 32 keeps the smallest windowed einsum at
     a quarter-tile — deeper stages fall back to the full fold, they are
-    ≤ 1/16 of the fold FLOPs anyway).
+    ≤ 1/16 of the fold FLOPs anyway). ``sizes`` overrides the default
+    (h//2, w//2) window — the kernel path widens s_x (see
+    ``_kernel_window_sizes``).
     """
     if not windowed or masks_r is None:
         return None
     if h % 2 or w % 2 or min(h // 2, w // 2) < 32:
         return None
-    return _support_windows(masks_r, h // 2, w // 2, x_align)
+    s_y, s_x = sizes if sizes is not None else (h // 2, w // 2)
+    return _support_windows(masks_r, s_y, s_x, x_align)
+
+
+def _kernel_window_sizes(h, w):
+    """(s_y, s_x) for the Pallas placement kernels, or None if unsupported.
+
+    The kernel's window x-starts must be X_ALIGN-aligned (Mosaic
+    sublane-start rule); rounding a start DOWN by up to X_ALIGN-1 would
+    shrink coverage and make the kernel fall back on supports the XLA
+    path handles (measured: one near-miss part in a batch-32 256² step
+    forced the ENTIRE stage-1 fold into the scan branch). Widening s_x to
+    w//2 + X_ALIGN restores the exact XLA fit domain: with s_x and w both
+    multiples of X_ALIGN (≥16 so s_x stays sublane-tileable), the clipped
+    aligned start's window still reaches the support's last column
+    whenever the support extent ≤ w//2 (x0 ≥ fx-(X_ALIGN-1) and
+    x_max + s_x = w). s_y needs no widening — row starts are unaligned
+    (outer dim).
+    """
+    from .warp_fused import X_ALIGN
+    if w % X_ALIGN or (w // 2) % X_ALIGN:
+        return None
+    return h // 2, min(w // 2 + X_ALIGN, w)
 
 
 def _place_offs(y0, x0, actives):
@@ -639,8 +664,9 @@ def _use_place_kernel(place_impl, h, w, c, t, warp_agg, has_masks, windowed,
         return False
     if h % 2 or w % 2 or min(h // 2, w // 2) < 32:
         return False
+    sizes = _kernel_window_sizes(h, w)
     from . import warp_fused
-    if not warp_fused.supported(h, w, c, h // 2, w // 2) \
+    if sizes is None or not warp_fused.supported(h, w, c, *sizes) \
             or not _place_actives(t, static_empty):
         return False
     if place_impl == "kernel":
@@ -665,7 +691,7 @@ def _fold_windowed_place(features, warps, masks_r, init_image_size,
     n, h, w, c = features.shape
     t = warps.shape[1]
     y0, x0, _, _ = windows
-    s_y, s_x = h // 2, w // 2
+    s_y, s_x = _kernel_window_sizes(h, w)
     actives = _place_actives(t, static_empty)
 
     body = _warp_batch(features, warps[:, 0], init_image_size)
@@ -701,7 +727,7 @@ def _fold_windowed_place_bwd(g, warps, masks_r, idx, init_image_size,
     n, h, w, c = g.shape
     t = warps.shape[1]
     y0, x0, _, _ = windows
-    s_y, s_x = h // 2, w // 2
+    s_y, s_x = _kernel_window_sizes(h, w)
     actives = _place_actives(t, static_empty)
 
     gm0 = jnp.where(idx == jnp.asarray(0, idx.dtype), g,
@@ -821,8 +847,12 @@ def _fold_fwd(features, warps, masks_r, init_image_size, warp_agg, windowed,
     use_kernel = _use_place_kernel(place_impl, h, w, c, t, warp_agg,
                                    masks_r is not None, windowed,
                                    static_empty)
-    windows = _fold_windows(masks_r, h, w, windowed,
-                            x_align=32 if use_kernel else 1)
+    if use_kernel:
+        from .warp_fused import X_ALIGN
+        windows = _fold_windows(masks_r, h, w, windowed, x_align=X_ALIGN,
+                                sizes=_kernel_window_sizes(h, w))
+    else:
+        windows = _fold_windows(masks_r, h, w, windowed)
     if windows is None:
         out, idx = _fold_scan(features, warps, masks_r, init_image_size,
                               warp_agg, static_empty)

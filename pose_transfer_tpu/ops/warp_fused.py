@@ -55,7 +55,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 RCH = 8        # rows per placement chunk
-X_ALIGN = 32   # window x-start alignment (sublane tile, all dtypes used)
+# Window x-start alignment. Mosaic requires dynamic sublane starts aligned
+# to the sublane tile; 16 covers bf16 (tile 16) and f32 (tile 8). The
+# windows are widened by this much (ops.warp._kernel_window_sizes), so a
+# smaller alignment means less extra einsum/traffic width.
+X_ALIGN = 16
 
 
 def _vmem_params():
