@@ -115,8 +115,14 @@ class Opts:
                             "exact = gather bilinear (torch bit-parity)")
         p.add_argument("--warp_windowed", default="auto",
                        choices=["auto", "0", "1"],
-                       help="mask-windowed warp fold: auto = on for "
-                            "batch >= 16 (the measured win; ops/warp.py)")
+                       help="mask-windowed warp fold: auto = always on "
+                            "with the TPU placement kernels, else batch "
+                            ">= 16 (the measured wins; ops/warp.py)")
+        p.add_argument("--warp_place", default="auto",
+                       choices=["auto", "kernel", "xla"],
+                       help="windowed-fold placement: Pallas kernels "
+                            "(ops/warp_fused.py) or XLA slice/update "
+                            "chains; auto = kernel on TPU")
         p.add_argument("--weight_init", default="xavier",
                        choices=["xavier", "gaussian"],
                        help="xavier = glorot uniform (pose_gan.py:51-52); "

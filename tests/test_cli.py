@@ -284,3 +284,12 @@ def test_inference_drivers_honor_compute_dtype(synth_env, monkeypatch):
     eval_cli.main(flags + ["--max_batches", "1"])
     assert seen["pose_transfer_tpu.cli.test"] == jnp.bfloat16
     assert seen["pose_transfer_tpu.cli.evaluate"] == jnp.bfloat16
+
+
+def test_warp_place_flag_reaches_config(synth_env):
+    """--warp_place flows through config_from_opt to the fold selection."""
+    from pose_transfer_tpu.cli.opts import config_from_opt
+    root, data = synth_env
+    for place in ("auto", "kernel", "xla"):
+        opt = Opts().parse(_flags(root, data, **{"--warp_place": place}))
+        assert config_from_opt(opt).warp_place == place
