@@ -352,11 +352,15 @@ def test_checkpoint_async_failure_surfaces(tmp_path, monkeypatch):
     assert not list(tmp_path.glob("*.msgpack"))
 
 
-def test_warp_windowed_auto_resolution():
-    """warp_windowed=None resolves by batch size (ops/warp.py sweep:
-    windowed wins at batch >= 16, loses below)."""
+def test_warp_windowed_auto_resolution(monkeypatch):
+    """warp_windowed=None resolves by placement availability and batch
+    size (CLAUDE.md sweep: with the Pallas placement kernels — TPU +
+    warp_place != 'xla' — windowing wins at every batch; with XLA
+    placement only at batch >= 16)."""
+    import pose_transfer_tpu.train.engine as engine_mod
     from pose_transfer_tpu.train.engine import build_models
 
+    # this suite runs on CPU: kernel placement unavailable -> batch rule
     gen_small, _ = build_models(small_config(batch_size=8))
     gen_big, _ = build_models(small_config(batch_size=16))
     assert gen_small.warp_windowed is False
@@ -364,6 +368,14 @@ def test_warp_windowed_auto_resolution():
     gen_forced, _ = build_models(small_config(batch_size=8,
                                               warp_windowed=True))
     assert gen_forced.warp_windowed is True
+
+    # on TPU the kernel placement makes windowing win at every batch
+    monkeypatch.setattr(engine_mod.jax, "default_backend", lambda: "tpu")
+    gen_tpu, _ = build_models(small_config(batch_size=8))
+    assert gen_tpu.warp_windowed is True
+    gen_tpu_xla, _ = build_models(small_config(batch_size=8,
+                                               warp_place="xla"))
+    assert gen_tpu_xla.warp_windowed is False
     # CLI string forms
     cfg = GANConfig.from_opt({"image_size": (32, 32), "use_input_pose": 1,
                               "warp_windowed": "auto"})
