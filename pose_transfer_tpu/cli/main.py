@@ -60,10 +60,9 @@ def main(argv=None):
     dataset_test = PoseTransferDataset(vars(opt), "test")
     mesh = mesh_from_opt(opt, config)
     if mesh is not None:
-        import dataclasses
+        from ..parallel import config_for_mesh
         # device_count drives the auto warp_windowed rule (per-device batch)
-        config = dataclasses.replace(
-            config, device_count=int(mesh.devices.size))
+        config = config_for_mesh(config, mesh)
 
     vgg_params = None
     if config.content_loss_layer != "none" and opt.vgg_weights:

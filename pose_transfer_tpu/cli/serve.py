@@ -34,16 +34,16 @@ def build_server(opt) -> PoseTransferServer:
     config = config_from_opt(opt)
     mesh = mesh_from_opt(opt, config)
     if mesh is not None:
-        import dataclasses
+        from ..parallel import config_for_mesh
         # device_count drives the auto warp_windowed rule (per-device batch)
-        config = dataclasses.replace(
-            config, device_count=int(mesh.devices.size))
+        config = config_for_mesh(config, mesh)
     state, gen, _ = create_state(config, seed=opt.seed)
     if opt.generator_checkpoint:
         state = state.replace(gen_params=checkpoint.load_params(
             opt.generator_checkpoint, state.gen_params))
     elif opt.resume:
-        state, epoch = checkpoint.resume(state, opt.checkpoints_dir)
+        state, epoch = checkpoint.resume(state, opt.checkpoints_dir,
+                                      require_disc=False)
         print(f"Serving epoch-{epoch} weights")
     return PoseTransferServer(config, gen, state.gen_params,
                               max_wait_ms=opt.max_wait_ms, mesh=mesh,

@@ -31,7 +31,8 @@ def main(argv=None):
     config = config_from_opt(opt)  # honors --compute_dtype (VERDICT r1 #4)
     dataset = PoseTransferDataset(vars(opt), "test")
     state, gen, _ = create_state(config, seed=opt.seed)
-    state, epoch = checkpoint.resume(state, opt.checkpoints_dir)
+    state, epoch = checkpoint.resume(state, opt.checkpoints_dir,
+                                      require_disc=False)
     print(f"Running inference with epoch-{epoch} weights")
     eval_step = make_eval_step(config, gen)
 

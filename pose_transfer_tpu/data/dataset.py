@@ -145,7 +145,11 @@ class PoseTransferDataset:
         }
         cached = None if self._warp_cache is None \
             else self._warp_cache.get(index)
-        if self.gen_type != "stacked":
+        if self.gen_type == "unet":
+            # the plain U-Net consumes the packed input only — no affine
+            # fits, no mask polygons (host) and no rasterization (device)
+            pass
+        elif self.gen_type != "stacked":
             if cached is None:
                 cached = self._warp_fit(kp_from, kp_to)
                 if self._warp_cache is not None:

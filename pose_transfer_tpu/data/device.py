@@ -61,7 +61,9 @@ def make_batch_preparer(*, image_size: tuple[int, int], pose_dim: int,
             img_from, inp_map if use_input_pose else None, tg_map)
         out = {"input": packed, "target": img_to}
 
-        if gen_type != "stacked":
+        if gen_type == "unet":
+            pass  # packed input only — no warps/masks to transfer/rasterize
+        elif gen_type != "stacked":
             out["warps"] = batch["warps"].astype(dtype)
             if warp_skip == "mask":
                 out["masks"] = jax.vmap(

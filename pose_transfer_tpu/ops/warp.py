@@ -595,20 +595,28 @@ def _fold_windowed_bwd(g, warps, masks_r, idx, init_image_size, warp_agg,
     return df
 
 
+def _windowable(h: int, w: int) -> bool:
+    """Shape gate shared by window construction (``_fold_windows``) and
+    kernel-placement selection (``_use_place_kernel``): even spatial dims,
+    and windows big enough that the MXU doesn't run sub-tile
+    (min(S) ≥ 32 keeps the smallest windowed einsum at a quarter-tile —
+    deeper stages fall back to the full fold, they are ≤ 1/16 of the fold
+    FLOPs anyway). ONE definition so forward selection and the backward's
+    re-derivation can never disagree."""
+    return not (h % 2 or w % 2 or min(h // 2, w // 2) < 32)
+
+
 def _fold_windows(masks_r, h, w, windowed, x_align=1, sizes=None):
     """The ``_support_windows`` tuple when windowing is enabled, else None.
 
     Windowing requires masks (each part's contribution must vanish outside
-    its support), even spatial dims, and windows big enough that the MXU
-    doesn't run sub-tile (min(S) ≥ 32 keeps the smallest windowed einsum at
-    a quarter-tile — deeper stages fall back to the full fold, they are
-    ≤ 1/16 of the fold FLOPs anyway). ``sizes`` overrides the default
-    (h//2, w//2) window — the kernel path widens s_x (see
+    its support) and a ``_windowable`` shape. ``sizes`` overrides the
+    default (h//2, w//2) window — the kernel path widens s_x (see
     ``_kernel_window_sizes``).
     """
     if not windowed or masks_r is None:
         return None
-    if h % 2 or w % 2 or min(h // 2, w // 2) < 32:
+    if not _windowable(h, w):
         return None
     s_y, s_x = sizes if sizes is not None else (h // 2, w // 2)
     return _support_windows(masks_r, s_y, s_x, x_align)
@@ -662,7 +670,7 @@ def _use_place_kernel(place_impl, h, w, c, t, warp_agg, has_masks, windowed,
     if place_impl == "xla" or not windowed or not has_masks \
             or warp_agg != "max":
         return False
-    if h % 2 or w % 2 or min(h // 2, w // 2) < 32:
+    if not _windowable(h, w):
         return False
     sizes = _kernel_window_sizes(h, w)
     from . import warp_fused

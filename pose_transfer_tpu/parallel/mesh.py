@@ -34,6 +34,29 @@ def make_mesh(num_devices: int | None = None,
     return Mesh(np.array(devices[:n]), (axis_name,))
 
 
+def config_for_mesh(config: GANConfig, mesh: Mesh | None) -> GANConfig:
+    """Return ``config`` with ``device_count`` set to the mesh width.
+
+    Call this BEFORE ``build_models``/``create_state``: the auto
+    ``warp_windowed`` rule keys off the PER-DEVICE batch, and the windowed
+    fold must stay off under a mesh (its placement chains/kernels index the
+    sharded batch axis — GANConfig.warp_windowed docs). ``mesh=None``
+    (single device) returns the config unchanged with device_count 1.
+    """
+    import dataclasses
+    n = 1 if mesh is None else int(mesh.devices.size)
+    return dataclasses.replace(config, device_count=n)
+
+
+def _check_mesh_config(config: GANConfig, mesh: Mesh, what: str):
+    if config.device_count != int(mesh.devices.size):
+        raise ValueError(
+            f"{what}: config.device_count={config.device_count} but the "
+            f"mesh has {int(mesh.devices.size)} device(s). Build the "
+            f"models from config_for_mesh(config, mesh) — the auto "
+            f"warp_windowed rule must see the data-parallel width")
+
+
 def replicate_state(state, mesh: Mesh):
     """Place the full state replicated on every mesh device."""
     repl = NamedSharding(mesh, P())
@@ -61,6 +84,7 @@ def make_parallel_train_step(config: GANConfig, gen, disc, mesh: Mesh,
     the global ``config.batch_size``, matching single-device numerics
     exactly (verified in tests/test_parallel.py).
     """
+    _check_mesh_config(config, mesh, "make_parallel_train_step")
     step = make_train_step(config, gen, disc)
     repl = NamedSharding(mesh, P())
     disc_shard, gen_shard = batch_shardings(mesh, axis_name)
@@ -81,6 +105,7 @@ def make_parallel_eval_step(config: GANConfig, gen, mesh: Mesh,
     """Batch-sharded inference forward."""
     from ..train.engine import make_eval_step
 
+    _check_mesh_config(config, mesh, "make_parallel_eval_step")
     inner = make_eval_step(config, gen)
     repl = NamedSharding(mesh, P())
     gen_shard = NamedSharding(mesh, P(axis_name))

@@ -127,11 +127,13 @@ class PoseTransferServer:
             "kp_from": kp_from,
             "kp_to": kp_to,
         }
-        if cfg.gen_type != "stacked":
+        # 'unet' consumes the packed input only — skip the per-request
+        # affine/polygon fitting entirely (dead work otherwise)
+        if cfg.gen_type == "baseline":
             warps, polys, kinds = warp_fit(
                 kp_from, kp_to, cfg.pose_dim, cfg.image_size, cfg.warp_skip)
             sample.update(warps=warps, mask_polys=polys, mask_kinds=kinds)
-        else:
+        elif cfg.gen_type == "stacked":
             interpol, warps, polys, kinds = interpol_chain(
                 kp_from, kp_to, cfg.pose_dim, cfg.image_size, cfg.warp_skip,
                 cfg.num_stacks)
@@ -149,13 +151,12 @@ class PoseTransferServer:
         sample = self.prepare_request(image, kp_from, kp_to)
         self._q.put((sample, fut, time.perf_counter()))
         # close() may have drained the queue between the _stop check and
-        # the put — fail the future rather than strand a .result() caller
-        # (InvalidStateError = close()'s drain got to it first, fine)
-        if self._stop.is_set() and not fut.done():
-            try:
-                fut.set_exception(RuntimeError("server closed"))
-            except BaseException:
-                pass
+        # the put — drain again ourselves so no QUEUED future is stranded
+        # (.result() callers block forever otherwise). Only futures still
+        # in the queue are failed: a request already dequeued into a
+        # running batch is not in the queue and completes normally.
+        if self._stop.is_set():
+            self._fail_queued()
         return fut
 
     def generate(self, requests: list[tuple[np.ndarray, np.ndarray,
@@ -210,10 +211,10 @@ class PoseTransferServer:
                 self._latencies.append(done - t_in)
             del self._latencies[:-1024]  # keep a recent window
         for (_, fut, _), img in zip(items, out_np):
-            # a future can already be failed by submit()'s post-put
-            # close-race check; an unguarded set_result would raise
-            # InvalidStateError here and poison the rest of the batch via
-            # _loop's except clause
+            # defensive: an already-resolved future would make an unguarded
+            # set_result raise InvalidStateError and poison the rest of the
+            # batch via _loop's except clause (mid-flight futures are never
+            # failed by the close-race drains — they only touch the queue)
             if not fut.done():
                 fut.set_result(img)
 
@@ -244,11 +245,9 @@ class PoseTransferServer:
             "images_per_sec": round(served / elapsed, 2),
         }
 
-    def close(self):
-        self._stop.set()
-        self._thread.join(timeout=5.0)
-        # fail queued-but-undispatched requests instead of stranding their
-        # futures (callers block on .result())
+    def _fail_queued(self):
+        """Fail every queued-but-undispatched request (only safe once
+        ``_stop`` is set — the batcher stops dequeuing then)."""
         while True:
             try:
                 _, fut, _ = self._q.get_nowait()
@@ -256,6 +255,14 @@ class PoseTransferServer:
                 break
             if not fut.done():
                 fut.set_exception(RuntimeError("server closed"))
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=5.0)
+        # fail queued-but-undispatched requests instead of stranding their
+        # futures (callers block on .result()); racing late submit()s run
+        # the same drain after their put
+        self._fail_queued()
 
     def __enter__(self):
         return self

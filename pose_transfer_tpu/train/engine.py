@@ -142,7 +142,12 @@ def build_models(config: GANConfig):
     if config.gen_type != "unet":
         windowed = config.warp_windowed
         if windowed is None:
+            # the placement kernels only exist for the max fold
+            # (ops.warp._use_place_kernel rejects warp_agg != 'max'); for
+            # 'avg' the XLA slice/dus placement is what actually runs, and
+            # it only amortizes at batch ≥ 16 (sweep in CLAUDE.md)
             kernel_place = (config.warp_place != "xla"
+                            and config.warp_agg == "max"
                             and jax.default_backend() == "tpu")
             windowed = (config.device_count == 1
                         and (kernel_place or config.batch_size >= 16))

@@ -176,6 +176,25 @@ def test_batch_stream_and_prefetcher(synth_dir):
     pf.close()
 
 
+def test_unet_skips_warp_pipeline(synth_dir):
+    """gen_type='unet' consumes the packed input only: the dataset must not
+    pay host-side affine/polygon fits and the preparer must not emit (or
+    rasterize) warps/masks — all dead work for the plain U-Net."""
+    from pose_transfer_tpu.data.dataset import collate
+    from pose_transfer_tpu.data.device import make_batch_preparer
+
+    ds = PoseTransferDataset(_opt(synth_dir, gen_type="unet"), "train")
+    s = ds[0]
+    assert "warps" not in s and "mask_polys" not in s
+
+    prepare = make_batch_preparer(image_size=IMG, pose_dim=18,
+                                  warp_skip="mask", gen_type="unet",
+                                  jit=False)
+    out = prepare(collate([s, ds[1]]))
+    assert "warps" not in out and "masks" not in out
+    assert out["input"].shape == (2, *IMG, 3 + 2 * 18)
+
+
 def test_synthetic_compact_batch_shapes():
     rng = np.random.default_rng(0)
     b = synthetic.synthetic_compact_batch(rng, 2, IMG, 18)

@@ -269,6 +269,27 @@ def test_resume_missing_disc_raises(tmp_path):
         checkpoint.resume(state, str(tmp_path))
 
 
+def test_resume_gen_only_for_inference(tmp_path):
+    """require_disc=False (inference flows) loads the generator even when
+    the same-epoch disc sibling is missing — eval/serving never touches
+    the disc, and the gen file is complete (atomic write)."""
+    config = small_config()
+    state, _, _ = create_state(config, seed=0)
+    checkpoint.save(state, str(tmp_path), epoch=3)
+    (tmp_path / "disc_003.msgpack").unlink()
+
+    fresh, _, _ = create_state(config, seed=1)
+    restored, epoch = checkpoint.resume(fresh, str(tmp_path),
+                                        require_disc=False)
+    assert epoch == 3
+    for a, b in zip(jax.tree_util.tree_leaves(state.gen_params),
+                    jax.tree_util.tree_leaves(restored.gen_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # training resume still refuses the half-written dir
+    with pytest.raises(FileNotFoundError, match="matching disc checkpoint"):
+        checkpoint.resume(fresh, str(tmp_path))
+
+
 def test_wait_for_saves_timeout_raises(monkeypatch):
     """wait_for_saves(timeout) treats the timeout as a deadline and raises
     when saves are still running — incomplete must not look complete."""
@@ -376,6 +397,15 @@ def test_warp_windowed_auto_resolution(monkeypatch):
     gen_tpu_xla, _ = build_models(small_config(batch_size=8,
                                                warp_place="xla"))
     assert gen_tpu_xla.warp_windowed is False
+    # the placement kernels only exist for the max fold: with
+    # warp_agg='avg' what actually runs is the XLA placement, so the
+    # batch >= 16 rule applies even on TPU
+    gen_tpu_avg, _ = build_models(small_config(batch_size=8,
+                                               warp_agg="avg"))
+    assert gen_tpu_avg.warp_windowed is False
+    gen_tpu_avg16, _ = build_models(small_config(batch_size=16,
+                                                 warp_agg="avg"))
+    assert gen_tpu_avg16.warp_windowed is True
     # CLI string forms
     cfg = GANConfig.from_opt({"image_size": (32, 32), "use_input_pose": 1,
                               "warp_windowed": "auto"})

@@ -6,6 +6,7 @@ import pytest
 
 from pose_transfer_tpu.data import synthetic
 from pose_transfer_tpu.parallel import (
+    config_for_mesh,
     make_mesh,
     make_parallel_eval_step,
     make_parallel_train_step,
@@ -51,7 +52,10 @@ def test_parallel_step_matches_single_device():
 
     mesh = make_mesh(8)
     pstate = replicate_state(state, mesh)
-    parallel = make_parallel_train_step(config, gen, disc, mesh)
+    # same gen/disc modules on purpose (the numerics comparison needs
+    # identical models); only device_count must match the mesh width
+    parallel = make_parallel_train_step(config_for_mesh(config, mesh),
+                                        gen, disc, mesh)
     s8, m8, out8 = parallel(pstate, fake, real, gen_batch)
 
     np.testing.assert_allclose(np.asarray(m1["gen"]), np.asarray(m8["gen"]),
@@ -77,7 +81,8 @@ def test_parallel_eval_step():
     state, gen, _ = create_state(config, seed=0)
     mesh = make_mesh(4)
     pstate = replicate_state(state, mesh)
-    eval_step = make_parallel_eval_step(config, gen, mesh)
+    eval_step = make_parallel_eval_step(config_for_mesh(config, mesh),
+                                        gen, mesh)
     _, _, gen_batch = _batches(config)
     out, prepared = eval_step(pstate.gen_params, gen_batch)
     assert out.shape == (config.batch_size, *IMG, 3)
@@ -87,3 +92,19 @@ def test_parallel_eval_step():
 def test_batch_not_divisible_raises():
     with pytest.raises(ValueError):
         make_mesh(16)
+
+
+def test_parallel_requires_matching_device_count():
+    """make_parallel_* validate config.device_count == mesh width: the auto
+    warp_windowed rule keys off the data-parallel width, so models built
+    from a config that never saw the mesh are a silent-misconfig hazard
+    (__graft_entry__ itself once hit this)."""
+    config = small_config()  # device_count defaults to 1
+    state, gen, disc = create_state(config, seed=0)
+    mesh = make_mesh(8)
+    with pytest.raises(ValueError, match="device_count"):
+        make_parallel_train_step(config, gen, disc, mesh)
+    with pytest.raises(ValueError, match="device_count"):
+        make_parallel_eval_step(config, gen, mesh)
+    assert config_for_mesh(config, mesh).device_count == 8
+    assert config_for_mesh(config, None).device_count == 1

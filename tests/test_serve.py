@@ -152,7 +152,7 @@ def test_serve_mesh_matches_single_device():
     single-device server's outputs."""
     import jax
 
-    from pose_transfer_tpu.parallel import make_mesh
+    from pose_transfer_tpu.parallel import config_for_mesh, make_mesh
 
     assert len(jax.devices()) == 8
     config = _config(batch_size=8)
@@ -160,8 +160,9 @@ def test_serve_mesh_matches_single_device():
     reqs = _requests(config, 5, seed=4)  # partial batch over the mesh
     with PoseTransferServer(config, gen, state.gen_params) as single:
         out1 = single.generate(reqs)
-    with PoseTransferServer(config, gen, state.gen_params,
-                            mesh=make_mesh(8)) as sharded:
+    mesh = make_mesh(8)
+    with PoseTransferServer(config_for_mesh(config, mesh), gen,
+                            state.gen_params, mesh=mesh) as sharded:
         out8 = sharded.generate(reqs)
     np.testing.assert_allclose(out1, out8, atol=1e-5)
 
