@@ -379,6 +379,39 @@ def _warp_batch_t_win(g_win, warps_t, y0, x0, h, w, init_image_size):
     return jax.vmap(one)(g_win, warps_t, y0, x0)
 
 
+def _warp_batch_t_win_joint(g_wins, warps_act, y0s, x0s, h, w,
+                            init_image_size):
+    """Joint-part transpose: (N,P,S_y,S_x,C) routed window cotangents →
+    full-resolution (N,H,W,C) float32 feature gradient.
+
+    Mathematically Σ_p ``_warp_batch_t_win``(g_wins[:, p], …), but the
+    (part, window-row) axes merge into ONE contraction: the per-part df
+    contributions sum inside the MXU accumulator, so the sequential loop's
+    P full-resolution df read-modify-write epilogues (the 'bwd df
+    accumulate' HBM traffic — ~2·P feature-map round trips) become a
+    single output write. Pass-2's contraction depth also grows P-fold
+    (P·S_y vs S_y), a better MXU shape. Accumulation is f32 throughout
+    (the loop rounded each part's df to the compute dtype before adding —
+    the joint sum is the numerically tighter of the two).
+    """
+    s_y, s_x = g_wins.shape[2], g_wins.shape[3]
+
+    def one(gms, trs, yys, xxs):           # one sample, parts stacked
+        def weights(tr, yy, xx):
+            return _two_pass_weights(tr, h, w, init_image_size, gms.dtype,
+                                     y0=yy, x0=xx, s_y=s_y, s_x=s_x)
+        wy, wx = jax.vmap(weights)(trs, yys, xxs)
+        # pass 1 per part: dtmp[p,o,x,c] = Σ_a wx[p,o,a,x]·gm[p,o,a,c]
+        dtmp = jnp.einsum("poax,poac->poxc", wx, gms,
+                          preferred_element_type=jnp.float32)
+        # pass 2, parts contracted jointly with the window rows:
+        # df[y,x,c] = Σ_{p,o} wy[p,x,o,y]·dtmp[p,o,x,c]
+        return jnp.einsum("pxoy,poxc->yxc", wy, dtmp.astype(gms.dtype),
+                          preferred_element_type=jnp.float32)
+
+    return jax.vmap(one)(g_wins, warps_act, y0s, x0s)
+
+
 def _slice_win(x: jax.Array, y0: jax.Array, x0: jax.Array,
                s_y: int, s_x: int) -> jax.Array:
     """Per-sample window slice: (N, h, w[, C]) → (N, S_y, S_x[, C]).
@@ -564,23 +597,22 @@ def _fold_windowed_bwd(g, warps, masks_r, idx, init_image_size, warp_agg,
     y0, x0, _, _ = windows
     s_y, s_x = h // 2, w // 2
 
-    df = jnp.zeros(g.shape, jnp.float32)
-    for i in range(t):
-        if i in static_empty:
-            continue
-        if i == 0:
-            if warp_agg == "max":
-                gm = jnp.where(idx == jnp.int8(0), g, 0)
-            else:
-                gm = g / t
-            gm = gm * masks_r[:, 0][..., None]
-            back = _warp_batch_t(gm.astype(g.dtype), warps[:, 0],
-                                 init_image_size)
-            df = df + back.astype(jnp.float32)
-            continue
-        # the part is masked-nonzero only inside its window, so the window
-        # slice carries the entire gradient (idx == i outside the window
-        # means the part won with its zero contribution — mask kills it)
+    if warp_agg == "max":
+        gm0 = jnp.where(idx == jnp.int8(0), g, 0)
+    else:
+        gm0 = g / t
+    gm0 = gm0 * masks_r[:, 0][..., None]
+    df0 = _warp_batch_t(gm0.astype(g.dtype), warps[:, 0],
+                        init_image_size).astype(jnp.float32)
+
+    # the non-body parts' pass-2 transposes run as ONE joint contraction
+    # over (part, window row) — see _warp_batch_t_win_joint. Each part is
+    # masked-nonzero only inside its window, so the window slice carries
+    # the entire gradient (idx == i outside the window means the part won
+    # with its zero contribution — mask kills it).
+    gms = []
+    sel = [i for i in range(1, t) if i not in static_empty]
+    for i in sel:
         g_win = _slice_win(g, y0[:, i], x0[:, i], s_y, s_x)
         if warp_agg == "max":
             idx_win = _slice_win(idx, y0[:, i], x0[:, i], s_y, s_x)
@@ -588,11 +620,15 @@ def _fold_windowed_bwd(g, warps, masks_r, idx, init_image_size, warp_agg,
         else:
             gm = g_win / t
         mwin = _slice_win(masks_r[:, i], y0[:, i], x0[:, i], s_y, s_x)
-        gm = gm * mwin[..., None]
-        back = _warp_batch_t_win(gm.astype(g.dtype), warps[:, i],
-                                 y0[:, i], x0[:, i], h, w, init_image_size)
-        df = df + back.astype(jnp.float32)
-    return df
+        gms.append(gm * mwin[..., None])
+    if not sel:
+        return df0
+    gm = jnp.stack(gms, axis=1).astype(g.dtype)
+    dfp = _warp_batch_t_win_joint(gm, warps[:, sel],
+                                  jnp.stack([y0[:, i] for i in sel], 1),
+                                  jnp.stack([x0[:, i] for i in sel], 1),
+                                  h, w, init_image_size)
+    return df0 + dfp
 
 
 def _windowable(h: int, w: int) -> bool:
@@ -729,7 +765,10 @@ def _fold_windowed_place(features, warps, masks_r, init_image_size,
 def _fold_windowed_place_bwd(g, warps, masks_r, idx, init_image_size,
                              windows, static_empty=()):
     """Backward of ``_fold_windowed_place``: the routing kernel slices the
-    cotangent/argmax windows per part; XLA keeps the transposed einsums."""
+    cotangent/argmax windows per part; XLA keeps the transposed einsums,
+    with all parts' pass-2 contractions fused into ONE joint dot
+    (``_warp_batch_t_win_joint`` — the per-part loop's df accumulate
+    epilogues were pure HBM traffic)."""
     from . import warp_fused
 
     n, h, w, c = g.shape
@@ -741,20 +780,22 @@ def _fold_windowed_place_bwd(g, warps, masks_r, idx, init_image_size,
     gm0 = jnp.where(idx == jnp.asarray(0, idx.dtype), g,
                     jnp.zeros((), g.dtype))
     gm0 = gm0 * masks_r[:, 0][..., None]
-    df = _warp_batch_t(gm0.astype(g.dtype), warps[:, 0],
-                       init_image_size).astype(jnp.float32)
+    df0 = _warp_batch_t(gm0.astype(g.dtype), warps[:, 0],
+                        init_image_size).astype(jnp.float32)
 
     offs = _place_offs(y0, x0, actives)
     interpret = jax.default_backend() != "tpu"
     gwins = warp_fused.fold_route(g, idx, offs, s_y, s_x, interpret)
 
-    for k, i in enumerate(actives):
-        mwin = _slice_win(masks_r[:, i], y0[:, i], x0[:, i], s_y, s_x)
-        gm = gwins[:, k] * mwin[..., None]
-        back = _warp_batch_t_win(gm.astype(g.dtype), warps[:, i],
-                                 y0[:, i], x0[:, i], h, w, init_image_size)
-        df = df + back.astype(jnp.float32)
-    return df
+    sel = list(actives)
+    mwins = jnp.stack([_slice_win(masks_r[:, i], y0[:, i], x0[:, i],
+                                  s_y, s_x) for i in sel], axis=1)
+    gm = (gwins * mwins[..., None]).astype(g.dtype)
+    dfp = _warp_batch_t_win_joint(gm, warps[:, sel],
+                                  jnp.stack([y0[:, i] for i in sel], 1),
+                                  jnp.stack([x0[:, i] for i in sel], 1),
+                                  h, w, init_image_size)
+    return df0 + dfp
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))

