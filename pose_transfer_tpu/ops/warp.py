@@ -362,6 +362,29 @@ def _warp_batch_win(features, warps_t, y0, x0, s_y, s_x, init_image_size):
     return jax.vmap(one)(features, warps_t, y0, x0)
 
 
+def _warp_batch_win_joint(features, warps_act, y0s, x0s, s_y, s_x,
+                          init_image_size):
+    """All parts' windowed warps as ONE batched two-pass: (N,H,W,C) →
+    (N,P,S_y,S_x,C). Same math as stacking ``_warp_batch_win`` per part,
+    but the P separate dot dispatches merge into two einsums with a part
+    axis (pass 1 reads the shared features once per sample; pass-2 rows
+    grow P-fold) — XLA never merges the unrolled loop's dots itself."""
+    def one(f, trs, yys, xxs):
+        h, w, _ = f.shape
+
+        def weights(tr, yy, xx):
+            return _two_pass_weights(tr, h, w, init_image_size, f.dtype,
+                                     y0=yy, x0=xx, s_y=s_y, s_x=s_x)
+        wy, wx = jax.vmap(weights)(trs, yys, xxs)
+        tmp = jnp.einsum("pxoy,yxc->poxc", wy, f,
+                         preferred_element_type=jnp.float32)
+        out = jnp.einsum("poax,poxc->poac", wx, tmp.astype(f.dtype),
+                         preferred_element_type=jnp.float32)
+        return out.astype(f.dtype)
+
+    return jax.vmap(one)(features, warps_act, y0s, x0s)
+
+
 def _warp_batch_t_win(g_win, warps_t, y0, x0, h, w, init_image_size):
     """Transpose of ``_warp_batch_win``: (N,S_y,S_x,C) window cotangent →
     full-resolution (N,H,W,C) feature gradient."""
@@ -740,13 +763,14 @@ def _fold_windowed_place(features, warps, masks_r, init_image_size,
 
     body = _warp_batch(features, warps[:, 0], init_image_size)
     body = body * masks_r[:, 0][..., None]
-    wins = []
-    for i in actives:
-        win = _warp_batch_win(features, warps[:, i], y0[:, i], x0[:, i],
-                              s_y, s_x, init_image_size)
-        mwin = _slice_win(masks_r[:, i], y0[:, i], x0[:, i], s_y, s_x)
-        wins.append(win * mwin[..., None])
-    wins = jnp.stack(wins, axis=1)
+    sel = list(actives)
+    wins = _warp_batch_win_joint(features, warps[:, sel],
+                                 jnp.stack([y0[:, i] for i in sel], 1),
+                                 jnp.stack([x0[:, i] for i in sel], 1),
+                                 s_y, s_x, init_image_size)
+    mwins = jnp.stack([_slice_win(masks_r[:, i], y0[:, i], x0[:, i],
+                                  s_y, s_x) for i in sel], axis=1)
+    wins = wins * mwins[..., None]
     offs = _place_offs(y0, x0, actives)
 
     interpret = jax.default_backend() != "tpu"

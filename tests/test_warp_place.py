@@ -53,12 +53,14 @@ def test_kernel_placement_matches_xla_windowed(fit):
 
     out_x, df_x = run("xla")
     out_k, df_k = run("kernel")
-    # placement itself is exact; only window *alignment* differs between
-    # the impls, and the windowed warp is a bit-exact subset either way
+    # placement itself is exact; window *alignment* differs between the
+    # impls (exactness-neutral), and the kernel path's joint-part einsums
+    # (_warp_batch_win_joint) tile the same f32 contractions differently —
+    # ulp-level reassociation only (measured max 1.5e-5)
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x),
-                               atol=1e-6)
+                               atol=5e-5)
     np.testing.assert_allclose(np.asarray(df_k), np.asarray(df_x),
-                               atol=1e-6)
+                               atol=5e-5)
 
 
 def test_kernel_placement_matches_full_fold():
@@ -87,10 +89,11 @@ def test_kernel_placement_with_static_empty():
         x, warps, masks, IMG, "max", True, se, "kernel")
     out_x, vjp_x = jax.vjp(fold_x, f)
     out_k, vjp_k = jax.vjp(fold_k, f)
+    # 5e-5: joint-part einsum tiling reassociation (see above)
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x),
-                               atol=1e-6)
+                               atol=5e-5)
     np.testing.assert_allclose(np.asarray(vjp_k(g)[0]),
-                               np.asarray(vjp_x(g)[0]), atol=1e-6)
+                               np.asarray(vjp_x(g)[0]), atol=5e-5)
 
 
 def test_aligned_support_windows_cover_and_fit():
