@@ -402,6 +402,15 @@ def _warp_batch_t_win(g_win, warps_t, y0, x0, h, w, init_image_size):
     return jax.vmap(one)(g_win, warps_t, y0, x0)
 
 
+def _joint_bwd_group() -> int:
+    """Parts per joint-backward contraction group. 0 (default) = all parts
+    in one dot. ``PT_WARP_JOINT_GROUP=k`` chunks the joint transpose into
+    ⌈P/k⌉ dots — the escape hatch if the (N,P,S_y,W,C) pass-1 stack ever
+    pressures HBM (each extra group costs one more full-res df add)."""
+    import os
+    return int(os.environ.get("PT_WARP_JOINT_GROUP", "0") or 0)
+
+
 def _warp_batch_t_win_joint(g_wins, warps_act, y0s, x0s, h, w,
                             init_image_size):
     """Joint-part transpose: (N,P,S_y,S_x,C) routed window cotangents →
@@ -418,6 +427,8 @@ def _warp_batch_t_win_joint(g_wins, warps_act, y0s, x0s, h, w,
     the joint sum is the numerically tighter of the two).
     """
     s_y, s_x = g_wins.shape[2], g_wins.shape[3]
+    p = g_wins.shape[1]
+    group = _joint_bwd_group() or p
 
     def one(gms, trs, yys, xxs):           # one sample, parts stacked
         def weights(tr, yy, xx):
@@ -432,7 +443,13 @@ def _warp_batch_t_win_joint(g_wins, warps_act, y0s, x0s, h, w,
         return jnp.einsum("pxoy,poxc->yxc", wy, dtmp.astype(gms.dtype),
                           preferred_element_type=jnp.float32)
 
-    return jax.vmap(one)(g_wins, warps_act, y0s, x0s)
+    joint = jax.vmap(one)
+    df = None
+    for k0 in range(0, p, group):
+        sl = slice(k0, min(k0 + group, p))
+        dfk = joint(g_wins[:, sl], warps_act[:, sl], y0s[:, sl], x0s[:, sl])
+        df = dfk if df is None else df + dfk
+    return df
 
 
 def _slice_win(x: jax.Array, y0: jax.Array, x0: jax.Array,
