@@ -665,8 +665,7 @@ def _fold_windowed_bwd(g, warps, masks_r, idx, init_image_size, warp_agg,
         return df0
     gm = jnp.stack(gms, axis=1).astype(g.dtype)
     dfp = _warp_batch_t_win_joint(gm, warps[:, sel],
-                                  jnp.stack([y0[:, i] for i in sel], 1),
-                                  jnp.stack([x0[:, i] for i in sel], 1),
+                                  y0[:, sel], x0[:, sel],
                                   h, w, init_image_size)
     return df0 + dfp
 
@@ -782,8 +781,7 @@ def _fold_windowed_place(features, warps, masks_r, init_image_size,
     body = body * masks_r[:, 0][..., None]
     sel = list(actives)
     wins = _warp_batch_win_joint(features, warps[:, sel],
-                                 jnp.stack([y0[:, i] for i in sel], 1),
-                                 jnp.stack([x0[:, i] for i in sel], 1),
+                                 y0[:, sel], x0[:, sel],
                                  s_y, s_x, init_image_size)
     mwins = jnp.stack([_slice_win(masks_r[:, i], y0[:, i], x0[:, i],
                                   s_y, s_x) for i in sel], axis=1)
@@ -833,8 +831,7 @@ def _fold_windowed_place_bwd(g, warps, masks_r, idx, init_image_size,
                                   s_y, s_x) for i in sel], axis=1)
     gm = (gwins * mwins[..., None]).astype(g.dtype)
     dfp = _warp_batch_t_win_joint(gm, warps[:, sel],
-                                  jnp.stack([y0[:, i] for i in sel], 1),
-                                  jnp.stack([x0[:, i] for i in sel], 1),
+                                  y0[:, sel], x0[:, sel],
                                   h, w, init_image_size)
     return df0 + dfp
 
