@@ -71,6 +71,41 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# --------------------------------------------------------------------------
+# Mesh context for the windowed fold. The windowed fold's placement (XLA
+# per-sample dynamic-slice/update chains, or the Pallas placement kernels)
+# indexes the batch axis directly, which GSPMD cannot partition — under a
+# data-parallel mesh the fold must run per-device on its LOCAL batch.
+# ``fold_mesh`` installs the (mesh, axis) pair at trace time;
+# ``affine_transform_layer`` then wraps the fold in ``jax.shard_map`` over
+# the batch axis (no collectives — the fold is batch-elementwise).
+# ``parallel.make_parallel_train_step``/``make_parallel_eval_step`` install
+# it around their inner step, so every supported mesh entry point gets it.
+# Without the context a windowed fold under GSPMD still computes correctly —
+# just with the slow replicated lowering this mechanism exists to avoid.
+# --------------------------------------------------------------------------
+
+_FOLD_MESH: tuple | None = None
+_SHARD_FOLD_TRACES = 0     # trace-time counter (tests assert the path ran)
+
+
+class fold_mesh:
+    """Context manager: run fold tracing with a data-parallel mesh."""
+
+    def __init__(self, mesh, axis_name: str = "data"):
+        self._pair = (mesh, axis_name)
+
+    def __enter__(self):
+        global _FOLD_MESH
+        self._prev = _FOLD_MESH
+        _FOLD_MESH = self._pair
+        return self
+
+    def __exit__(self, *exc):
+        global _FOLD_MESH
+        _FOLD_MESH = self._prev
+
+
 def _resize_matrix(n_out: int, n_in: int) -> np.ndarray:
     """(n_out, n_in) bilinear interpolation matrix, cv2 INTER_LINEAR
     semantics: half-pixel centers, clamped borders, no antialiasing.
@@ -1084,6 +1119,25 @@ def affine_transform_layer(features: jax.Array, warps: jax.Array,
         # batch-8 256² generator fwd+bwd vs the previous remat fold.
         # `windowed` additionally restricts each part's contraction to its
         # mask's bounding-box window (bit-exact; see warp_fold_matmul).
+        if windowed and masks_r is not None and _FOLD_MESH is not None:
+            # data-parallel: run the fold per-device on its local batch
+            # (shard_map over the batch axis; the fold is batch-elementwise
+            # so no collectives are inserted). Exact: each sample's fold is
+            # independent, so sharded == unsharded (tests/test_parallel.py)
+            mesh, ax = _FOLD_MESH
+            global _SHARD_FOLD_TRACES
+            _SHARD_FOLD_TRACES += 1
+            from jax.sharding import PartitionSpec as _P
+            # check_vma=False: the fold's loop carries initialize from
+            # literals (replicated) and join varying values — sound here
+            # because the body is collective-free and purely per-sample
+            fold = jax.shard_map(
+                lambda f, wp, mk: warp_fold_matmul(
+                    f, wp, mk, init_image_size, warp_agg, windowed,
+                    static_empty, place_impl),
+                mesh=mesh, in_specs=(_P(ax), _P(ax), _P(ax)),
+                out_specs=_P(ax), check_vma=False)
+            return fold(features, warps, masks_r)
         return warp_fold_matmul(features, warps, masks_r, init_image_size,
                                 warp_agg, windowed, static_empty, place_impl)
 

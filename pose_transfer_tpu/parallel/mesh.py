@@ -86,6 +86,14 @@ def make_parallel_train_step(config: GANConfig, gen, disc, mesh: Mesh,
     """
     _check_mesh_config(config, mesh, "make_parallel_train_step")
     step = make_train_step(config, gen, disc)
+
+    def stepped(state, disc_fake, disc_real, gen_batch):
+        # trace inside the fold-mesh context: a windowed warp fold runs
+        # per-device on its local batch via shard_map (ops.warp.fold_mesh)
+        from ..ops import warp as warp_ops
+        with warp_ops.fold_mesh(mesh, axis_name):
+            return step(state, disc_fake, disc_real, gen_batch)
+
     repl = NamedSharding(mesh, P())
     disc_shard, gen_shard = batch_shardings(mesh, axis_name)
     # out images: (N, H, W, 3) baseline / (S, N, H, W, 3) stacked stages —
@@ -93,7 +101,7 @@ def make_parallel_train_step(config: GANConfig, gen, disc, mesh: Mesh,
     out_shard = NamedSharding(mesh, P(None, axis_name)) \
         if config.gen_type == "stacked" else gen_shard
     return jax.jit(
-        step,
+        stepped,
         in_shardings=(repl, disc_shard, disc_shard, gen_shard),
         out_shardings=(repl, repl, out_shard),
         donate_argnums=(0,),
@@ -107,9 +115,15 @@ def make_parallel_eval_step(config: GANConfig, gen, mesh: Mesh,
 
     _check_mesh_config(config, mesh, "make_parallel_eval_step")
     inner = make_eval_step(config, gen)
+
+    def stepped(params, batch):
+        from ..ops import warp as warp_ops
+        with warp_ops.fold_mesh(mesh, axis_name):
+            return inner(params, batch)
+
     repl = NamedSharding(mesh, P())
     gen_shard = NamedSharding(mesh, P(axis_name))
     out_shard = NamedSharding(mesh, P(None, axis_name)) \
         if config.gen_type == "stacked" else gen_shard
-    return jax.jit(inner, in_shardings=(repl, gen_shard),
+    return jax.jit(stepped, in_shardings=(repl, gen_shard),
                    out_shardings=(out_shard, gen_shard))

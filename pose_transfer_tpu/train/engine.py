@@ -69,14 +69,14 @@ class GANConfig:
     nn_loss_area_size: int = 1
     warp_backend: str = "matmul"   # 'matmul' (MXU path) | 'exact' (gather)
     # mask-windowed fold (ops/warp.py): None = auto. With the Pallas
-    # placement kernels available (TPU + warp_place != 'xla') windowing
-    # wins at EVERY batch (280-297 vs 236-265 img/s at 256²; 381 vs 346
-    # infer at b8 — sweep in CLAUDE.md), so auto = on. With XLA placement
-    # the per-sample dynamic-slice chains only amortize at a PER-DEVICE
-    # batch ≥ 16 (257-265 vs 236-242; off below: 253 vs 248). Off under a
-    # mesh either way (the chains/kernels index the sharded batch axis —
-    # SPMD lowering unexplored; force with warp_windowed=True only after
-    # measuring)
+    # placement kernels available (TPU + warp_agg max + warp_place !=
+    # 'xla') windowing wins at EVERY batch (280-297 vs 236-265 img/s at
+    # 256²; 381 vs 346 infer at b8 — sweep in CLAUDE.md), so auto = on.
+    # With XLA placement the per-sample dynamic-slice chains only amortize
+    # at a PER-DEVICE batch ≥ 16 (257-265 vs 236-242; off below: 253 vs
+    # 248). Under a mesh the fold runs per-device on its local batch
+    # (jax.shard_map over the data axis — ops.warp.fold_mesh, installed by
+    # parallel.make_parallel_*), so the same rules apply per device.
     warp_windowed: bool | None = None
     # windowed-fold placement implementation (ops/warp_fused.py): 'auto' =
     # Pallas placement kernels on TPU, XLA slice/update chains elsewhere
@@ -145,12 +145,16 @@ def build_models(config: GANConfig):
             # the placement kernels only exist for the max fold
             # (ops.warp._use_place_kernel rejects warp_agg != 'max'); for
             # 'avg' the XLA slice/dus placement is what actually runs, and
-            # it only amortizes at batch ≥ 16 (sweep in CLAUDE.md)
+            # it only amortizes at a PER-DEVICE batch ≥ 16 (sweep in
+            # CLAUDE.md). Under a mesh the fold runs per-device via
+            # shard_map (ops.warp.fold_mesh, installed by
+            # parallel.make_parallel_*), so the rule keys off the
+            # per-device batch.
             kernel_place = (config.warp_place != "xla"
                             and config.warp_agg == "max"
                             and jax.default_backend() == "tpu")
-            windowed = (config.device_count == 1
-                        and (kernel_place or config.batch_size >= 16))
+            per_dev = config.batch_size // max(config.device_count, 1)
+            windowed = kernel_place or per_dev >= 16
         common["warp_windowed"] = windowed
         common["warp_place"] = config.warp_place
     if config.gen_type == "stacked":

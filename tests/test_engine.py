@@ -406,6 +406,14 @@ def test_warp_windowed_auto_resolution(monkeypatch):
     gen_tpu_avg16, _ = build_models(small_config(batch_size=16,
                                                  warp_agg="avg"))
     assert gen_tpu_avg16.warp_windowed is True
+    # under a mesh the rule keys off the PER-DEVICE batch (the fold runs
+    # per-device via shard_map — ops.warp.fold_mesh)
+    gen_mesh_small, _ = build_models(small_config(
+        batch_size=32, device_count=4, warp_place="xla"))
+    assert gen_mesh_small.warp_windowed is False   # per-dev 8 < 16, no krn
+    gen_mesh_big, _ = build_models(small_config(
+        batch_size=64, device_count=4, warp_place="xla"))
+    assert gen_mesh_big.warp_windowed is True      # per-dev 16
     # CLI string forms
     cfg = GANConfig.from_opt({"image_size": (32, 32), "use_input_pose": 1,
                               "warp_windowed": "auto"})

@@ -94,6 +94,83 @@ def test_batch_not_divisible_raises():
         make_mesh(16)
 
 
+@pytest.mark.parametrize("place", ["xla", "kernel"])
+def test_windowed_fold_sharded_matches_single(place):
+    """Under a data-parallel mesh the windowed fold runs per-device via
+    shard_map (ops.warp.fold_mesh) — batch-elementwise, so sharded must
+    equal unsharded, forward and gradient (both placement impls; 'kernel'
+    runs the Pallas placement in interpret mode on CPU)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pose_transfer_tpu.ops import warp as warp_ops
+
+    rng = np.random.RandomState(0)
+    n, hw, c, t = 8, 64, 8, 4
+    f = jnp.asarray(rng.randn(n, hw, hw, c), jnp.float32)
+    warps = np.tile(np.array([1, 0, 0, 0, 1, 0, 0, 0], np.float32),
+                    (n, t, 1))
+    warps[:, 1] = [0.9, 0.1, 3.0, -0.15, 1.05, -2.0, 0, 0]
+    warps[:, 2] = [1.2, -0.3, -5.0, 0.2, 0.8, 4.0, 0, 0]
+    masks = np.zeros((n, t, hw, hw), np.float32)
+    masks[:, 0] = 1.0
+    masks[:, 1, 5:30, 8:30] = 1.0
+    masks[:, 2, 33:60, 33:60] = 1.0
+    warps, masks = jnp.asarray(warps), jnp.asarray(masks)
+    g = jnp.asarray(rng.randn(n, hw, hw, c), jnp.float32)
+
+    def layer(x, w_, m):
+        return warp_ops.affine_transform_layer(
+            x, w_, m, (hw, hw), "mask", "max", "matmul",
+            windowed=True, place_impl=place)
+
+    def fwd_bwd(x, w_, m):
+        out, vjp = jax.vjp(lambda xx: layer(xx, w_, m), x)
+        return out, vjp(g)[0]
+
+    out1, df1 = jax.jit(fwd_bwd)(f, warps, masks)
+
+    mesh = make_mesh(4)
+    shard = NamedSharding(mesh, P("data"))
+    before = warp_ops._SHARD_FOLD_TRACES
+
+    def traced(x, w_, m):
+        with warp_ops.fold_mesh(mesh, "data"):
+            return fwd_bwd(x, w_, m)
+
+    out8, df8 = jax.jit(traced, in_shardings=(shard, shard, shard))(
+        jax.device_put(f, shard), jax.device_put(warps, shard),
+        jax.device_put(masks, shard))
+    assert warp_ops._SHARD_FOLD_TRACES > before  # the shard path traced
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(out1),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(df8), np.asarray(df1), atol=2e-5)
+
+
+def test_parallel_windowed_train_step_matches_single_device():
+    """Full data-parallel train step with the windowed fold forced on
+    (64² so the shape qualifies): 4-device == 1-device numerics, like the
+    unwindowed equality test."""
+    config = small_config(image_size=(64, 64), batch_size=8,
+                          warp_windowed=True, warp_place="xla")
+    state, gen, disc = create_state(config, seed=0)
+    fake, real, gen_batch = _batches(config)
+
+    single = jax.jit(make_train_step(config, gen, disc))
+    s1, m1, out1 = single(state, fake, real, gen_batch)
+
+    mesh = make_mesh(4)
+    pstate = replicate_state(state, mesh)
+    parallel = make_parallel_train_step(config_for_mesh(config, mesh),
+                                        gen, disc, mesh)
+    s4, m4, out4 = parallel(pstate, fake, real, gen_batch)
+
+    np.testing.assert_allclose(np.asarray(m1["gen"]), np.asarray(m4["gen"]),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out4),
+                               rtol=2e-3, atol=1e-3)
+
+
 def test_parallel_requires_matching_device_count():
     """make_parallel_* validate config.device_count == mesh width: the auto
     warp_windowed rule keys off the data-parallel width, so models built
