@@ -29,7 +29,8 @@ def _batches(config, seed=0):
     rng = np.random.default_rng(seed)
     mk = lambda: synthetic.synthetic_compact_batch(  # noqa: E731
         rng, config.batch_size, config.image_size, config.pose_dim,
-        warp_skip=config.warp_skip)
+        warp_skip=config.warp_skip, gen_type=config.gen_type,
+        num_stacks=config.num_stacks)
     fake = {k: v[None] for k, v in mk().items()}
     real = {k: v[None] for k, v in mk().items()}
     gen_batch = mk()
@@ -165,6 +166,33 @@ def test_parallel_windowed_train_step_matches_single_device():
                                         gen, disc, mesh)
     s4, m4, out4 = parallel(pstate, fake, real, gen_batch)
 
+    np.testing.assert_allclose(np.asarray(m1["gen"]), np.asarray(m4["gen"]),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out4),
+                               rtol=2e-3, atol=1e-3)
+
+
+def test_parallel_stacked_windowed_matches_single_device():
+    """Stacked generator (per-stage fold instances, (S, N, ...) outputs)
+    over the mesh with the windowed fold forced: 4-device == 1-device.
+    Covers the stacked out-sharding (batch axis 1) and the shard_mapped
+    fold inside every stage."""
+    config = small_config(image_size=(64, 64), batch_size=4,
+                          gen_type="stacked", num_stacks=2,
+                          warp_windowed=True, warp_place="xla")
+    state, gen, disc = create_state(config, seed=0)
+    fake, real, gen_batch = _batches(config)
+
+    single = jax.jit(make_train_step(config, gen, disc))
+    s1, m1, out1 = single(state, fake, real, gen_batch)
+
+    mesh = make_mesh(4)
+    pstate = replicate_state(state, mesh)
+    parallel = make_parallel_train_step(config_for_mesh(config, mesh),
+                                        gen, disc, mesh)
+    s4, m4, out4 = parallel(pstate, fake, real, gen_batch)
+
+    assert out1.shape[0] == config.num_stacks  # (S, N, H, W, 3)
     np.testing.assert_allclose(np.asarray(m1["gen"]), np.asarray(m4["gen"]),
                                rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out4),
