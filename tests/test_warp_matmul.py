@@ -268,6 +268,35 @@ def test_windowed_fold_matches_full(agg, oversize):
                                atol=5e-6, rtol=1e-4)
 
 
+@pytest.mark.parametrize("seed", [2, 3, 4, 5])
+def test_windowed_fold_fuzz_geometries(seed):
+    """Seeded fuzz: random support rectangles (including border-touching
+    ones — windows clip at h-s_y / aligned x-max) must keep the
+    kernel-placed windowed fold equal to the full fold, fwd and grad."""
+    feats, warps, masks = _windowed_inputs(seed)
+    m = np.array(masks)
+    rng = np.random.default_rng(100 + seed)
+    # push two supports against the borders to stress start clipping
+    for i in range(m.shape[0]):
+        m[i, 8] = 0.0
+        m[i, 8, 0:int(rng.integers(4, 12)), -int(rng.integers(4, 12)):] = 1.0
+        m[i, 9] = 0.0
+        m[i, 9, -int(rng.integers(4, 12)):, 0:int(rng.integers(4, 12))] = 1.0
+    masks = jnp.asarray(m)
+
+    hw = (64, 64)
+    ref, vjp_r = jax.vjp(
+        lambda f: warp_fold_matmul(f, warps, masks, hw), feats)
+    win, vjp_w = jax.vjp(
+        lambda f: warp_fold_matmul(f, warps, masks, hw, "max", True, (),
+                                   "kernel"), feats)
+    np.testing.assert_allclose(np.asarray(win), np.asarray(ref), atol=5e-5)
+    g = jnp.asarray(np.random.default_rng(seed).normal(size=ref.shape),
+                    jnp.float32)
+    np.testing.assert_allclose(np.asarray(vjp_w(g)[0]),
+                               np.asarray(vjp_r(g)[0]), atol=5e-5)
+
+
 def test_windowed_fold_bf16_bit_exact():
     feats, warps, masks = _windowed_inputs(2)
     fb, mb = feats.astype(jnp.bfloat16), masks.astype(jnp.bfloat16)
