@@ -64,6 +64,7 @@ shapes of record and dimensionally correct otherwise).
 
 from __future__ import annotations
 
+import contextvars
 import functools
 
 import jax
@@ -83,9 +84,18 @@ import numpy as np
 # it around their inner step, so every supported mesh entry point gets it.
 # Without the context a windowed fold under GSPMD still computes correctly —
 # just with the slow replicated lowering this mechanism exists to avoid.
+#
+# CAVEAT (trace-time state): the context influences TRACING only and is NOT
+# part of any jit cache key. Do not call the SAME jitted callable with and
+# without the context at identical avals/shardings — the second call reuses
+# the first trace. The supported entry points are structurally safe: the
+# single-device and mesh steps are distinct jit objects, and their
+# avals/shardings differ. A ContextVar keeps concurrent traces on other
+# threads (e.g. the serving batcher's first-call trace) isolated.
 # --------------------------------------------------------------------------
 
-_FOLD_MESH: tuple | None = None
+_FOLD_MESH: contextvars.ContextVar = contextvars.ContextVar(
+    "pose_transfer_fold_mesh", default=None)
 _SHARD_FOLD_TRACES = 0     # trace-time counter (tests assert the path ran)
 
 
@@ -96,14 +106,11 @@ class fold_mesh:
         self._pair = (mesh, axis_name)
 
     def __enter__(self):
-        global _FOLD_MESH
-        self._prev = _FOLD_MESH
-        _FOLD_MESH = self._pair
+        self._token = _FOLD_MESH.set(self._pair)
         return self
 
     def __exit__(self, *exc):
-        global _FOLD_MESH
-        _FOLD_MESH = self._prev
+        _FOLD_MESH.reset(self._token)
 
 
 def _resize_matrix(n_out: int, n_in: int) -> np.ndarray:
@@ -403,7 +410,8 @@ def _warp_batch_win_joint(features, warps_act, y0s, x0s, s_y, s_x,
     (N,P,S_y,S_x,C). Same math as stacking ``_warp_batch_win`` per part,
     but the P separate dot dispatches merge into two einsums with a part
     axis (pass 1 reads the shared features once per sample; pass-2 rows
-    grow P-fold) — XLA never merges the unrolled loop's dots itself."""
+    grow P-fold) — XLA never merges the unrolled loop's dots itself.
+    ``PT_WARP_JOINT_GROUP`` chunks the part axis (see ``_joint_group``)."""
     def one(f, trs, yys, xxs):
         h, w, _ = f.shape
 
@@ -417,7 +425,15 @@ def _warp_batch_win_joint(features, warps_act, y0s, x0s, s_y, s_x,
                          preferred_element_type=jnp.float32)
         return out.astype(f.dtype)
 
-    return jax.vmap(one)(features, warps_act, y0s, x0s)
+    joint = jax.vmap(one)
+    p = warps_act.shape[1]
+    group = _joint_group() or p
+    if group >= p:
+        return joint(features, warps_act, y0s, x0s)
+    wins = [joint(features, warps_act[:, sl], y0s[:, sl], x0s[:, sl])
+            for sl in (slice(k, min(k + group, p))
+                       for k in range(0, p, group))]
+    return jnp.concatenate(wins, axis=1)
 
 
 def _warp_batch_t_win(g_win, warps_t, y0, x0, h, w, init_image_size):
@@ -437,13 +453,15 @@ def _warp_batch_t_win(g_win, warps_t, y0, x0, h, w, init_image_size):
     return jax.vmap(one)(g_win, warps_t, y0, x0)
 
 
-def _joint_bwd_group() -> int:
-    """Parts per joint-backward contraction group. 0 (default) = all parts
-    in one dot. ``PT_WARP_JOINT_GROUP=k`` chunks the joint transpose into
-    ⌈P/k⌉ dots — the escape hatch if the (N,P,S_y,W,C) pass-1 stack ever
-    pressures HBM (each extra group costs one more full-res df add)."""
+def _joint_group() -> int:
+    """Parts per joint contraction group (forward AND backward). 0
+    (default) = all parts in one dot. ``PT_WARP_JOINT_GROUP=k`` chunks the
+    joint einsums into ⌈P/k⌉ dots — the escape hatch if the (N,P,S_y,W,C)
+    pass-1 stack (~2× the wins stack) pressures HBM at large batch; each
+    extra backward group costs one more full-res df add. Values < 1 mean
+    'no chunking'."""
     import os
-    return int(os.environ.get("PT_WARP_JOINT_GROUP", "0") or 0)
+    return max(0, int(os.environ.get("PT_WARP_JOINT_GROUP", "0") or 0))
 
 
 def _warp_batch_t_win_joint(g_wins, warps_act, y0s, x0s, h, w,
@@ -463,7 +481,7 @@ def _warp_batch_t_win_joint(g_wins, warps_act, y0s, x0s, h, w,
     """
     s_y, s_x = g_wins.shape[2], g_wins.shape[3]
     p = g_wins.shape[1]
-    group = _joint_bwd_group() or p
+    group = _joint_group() or p
 
     def one(gms, trs, yys, xxs):           # one sample, parts stacked
         def weights(tr, yy, xx):
@@ -1119,12 +1137,13 @@ def affine_transform_layer(features: jax.Array, warps: jax.Array,
         # batch-8 256² generator fwd+bwd vs the previous remat fold.
         # `windowed` additionally restricts each part's contraction to its
         # mask's bounding-box window (bit-exact; see warp_fold_matmul).
-        if windowed and masks_r is not None and _FOLD_MESH is not None:
+        if windowed and masks_r is not None \
+                and _FOLD_MESH.get() is not None:
             # data-parallel: run the fold per-device on its local batch
             # (shard_map over the batch axis; the fold is batch-elementwise
             # so no collectives are inserted). Exact: each sample's fold is
             # independent, so sharded == unsharded (tests/test_parallel.py)
-            mesh, ax = _FOLD_MESH
+            mesh, ax = _FOLD_MESH.get()
             global _SHARD_FOLD_TRACES
             _SHARD_FOLD_TRACES += 1
             from jax.sharding import PartitionSpec as _P

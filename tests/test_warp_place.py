@@ -96,6 +96,25 @@ def test_kernel_placement_with_static_empty():
                                np.asarray(vjp_x(g)[0]), atol=5e-5)
 
 
+def test_joint_group_chunking_matches(monkeypatch):
+    """PT_WARP_JOINT_GROUP chunks the joint fwd/bwd einsums into part
+    groups — results must be identical to the unchunked joint dots, and
+    non-positive values must mean 'no chunking' (not crash)."""
+    f, warps, masks, g = _inputs(fit=True)
+    fold = lambda x: warp_fold_matmul(  # noqa: E731
+        x, warps, masks, IMG, "max", True, (), "kernel")
+    out_ref, vjp_ref = jax.vjp(fold, f)
+    df_ref = vjp_ref(g)[0]
+    for val in ("2", "1", "-3"):
+        monkeypatch.setenv("PT_WARP_JOINT_GROUP", val)
+        out_c, vjp_c = jax.vjp(fold, f)
+        np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_ref),
+                                   atol=2e-5, err_msg=f"group={val}")
+        np.testing.assert_allclose(np.asarray(vjp_c(g)[0]),
+                                   np.asarray(df_ref), atol=2e-5,
+                                   err_msg=f"group={val}")
+
+
 def test_aligned_support_windows_cover_and_fit():
     """x_align=32 starts stay 32-aligned, in-bounds, and cover the support
     whenever ``fits``; rounding only ever turns fits off, never on."""
