@@ -24,7 +24,31 @@ import time
 import numpy as np
 
 
+def _preflight_tunnel() -> None:
+    """Fail fast (seconds, not the plugin's ~10 min) when the dev
+    environment's axon tunnel is down. Only applies when the axon plugin
+    is configured against a loopback pool (the tunneled dev setup) — on a
+    real TPU VM there is no tunnel and this is a no-op."""
+    ip = os.environ.get("PALLAS_AXON_POOL_IPS", "")
+    if "axon" not in os.environ.get("JAX_PLATFORMS", "") \
+            or not ip.startswith("127."):
+        return
+    import socket
+    s = socket.socket()
+    s.settimeout(5)
+    try:
+        s.connect((ip, 8083))
+    except OSError as e:
+        raise SystemExit(
+            f"bench.py: axon tunnel {ip}:8083 unreachable ({e}) — "
+            f"TPU backend cannot initialize; aborting before the "
+            f"plugin's long claim timeout") from e
+    finally:
+        s.close()
+
+
 def main() -> None:
+    _preflight_tunnel()
     import jax
 
     from pose_transfer_tpu.utils.cache import enable_compilation_cache
