@@ -122,9 +122,15 @@ def main(argv=None):
 
     eval_step = make_eval_step(config, gen)
 
+    # deterministic resume: seek the train stream past the batches the
+    # completed epochs already drew (2·ratio disc draws + 1 gen draw per
+    # iteration), so a resumed run sees the sample order a continuous run
+    # would have (SURVEY §5; the reference reshuffles arbitrarily)
+    skip = (start_epoch - 1) * opt.iters_per_epoch \
+        * (2 * config.training_ratio + 1)
     stream_train = sample_stream(dataset_train, config.batch_size,
                                  seed=opt.seed, prefetch=bool(opt.prefetch),
-                                 sharding=data_sharding)
+                                 sharding=data_sharding, skip_batches=skip)
     stream_test = sample_stream(dataset_test, config.batch_size,
                                 seed=opt.seed + 1,
                                 prefetch=bool(opt.prefetch),

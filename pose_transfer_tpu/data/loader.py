@@ -62,6 +62,17 @@ class BatchStream:
             self._pos += self.batch_size
             return idx
 
+    def seek_batches(self, k: int) -> None:
+        """Advance the shuffle state by ``k`` batch draws without
+        assembling anything — index math only (an occasional O(n)
+        permutation per dataset pass). Deterministic resume: a stream
+        created with the same seed and seeked by the number of batches a
+        crashed run had drawn continues EXACTLY where a continuous run
+        would be (SURVEY §5: 'deterministic restart of the data stream';
+        the reference reshuffles arbitrarily on every iterator reset)."""
+        for _ in range(k):
+            self.next_indices()
+
     def assemble(self, idx: np.ndarray) -> dict:
         """Build one batch; safe to call from several threads at once."""
         if self._pool is not None:
@@ -161,10 +172,16 @@ class DevicePrefetcher:
 def sample_stream(dataset, batch_size: int, *, seed: int = 0,
                   shuffle: bool = True, prefetch: bool = True,
                   sharding=None, num_threads: int = 8,
-                  num_workers: int = 3):
-    """The framework's ``load_sample`` equivalent: an infinite device stream."""
+                  num_workers: int = 3, skip_batches: int = 0):
+    """The framework's ``load_sample`` equivalent: an infinite device stream.
+
+    ``skip_batches`` seeks the shuffle state BEFORE the prefetcher's
+    workers start pulling (deterministic resume — see
+    ``BatchStream.seek_batches``)."""
     stream = BatchStream(dataset, batch_size, shuffle=shuffle, seed=seed,
                          num_threads=num_threads)
+    if skip_batches:
+        stream.seek_batches(skip_batches)
     if not prefetch:
         return stream
     return DevicePrefetcher(stream, sharding=sharding,

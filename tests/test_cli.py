@@ -92,17 +92,30 @@ def test_train_and_infer_end_to_end(synth_env):
     assert list(gen_dir.glob("*.png")), "no inference grids written"
 
 
-def test_train_resume(synth_env):
+def test_train_resume(synth_env, monkeypatch):
     from pose_transfer_tpu.cli import main as train_main
+    from pose_transfer_tpu.data.loader import BatchStream
 
     root, data = synth_env
-    train_main.main(_flags(root, data, **{"--expID": "r"}))
-    # resume + one more epoch
     train_main.main(_flags(root, data, **{"--expID": "r",
-                                          "--number_of_epochs": 2}) +
+                                          "--number_of_epochs": 2}))
+    # resume restarts AT the checkpoint epoch (reference contract:
+    # pose_gan.py:201-214) — start_epoch 2 re-runs epoch 2, so the train
+    # stream must seek past epoch 1's draws (iters × (2·ratio + 1)) for
+    # deterministic resume
+    seeks = []
+    orig = BatchStream.seek_batches
+    monkeypatch.setattr(BatchStream, "seek_batches",
+                        lambda self, k: (seeks.append(k),
+                                         orig(self, k))[1])
+    train_main.main(_flags(root, data, **{"--expID": "r",
+                                          "--number_of_epochs": 3}) +
                     ["--resume", "1"])
     exp = root / "exp" / "r"
-    assert (exp / "models" / "gen_002.msgpack").exists()
+    assert (exp / "models" / "gen_003.msgpack").exists()
+    iters = int(_flags(root, data)[_flags(root, data).index(
+        "--iters_per_epoch") + 1])
+    assert seeks == [iters * 3]  # training_ratio 1 → 3 draws/iteration
 
 
 def test_create_pairs_cli(synth_env, tmp_path):

@@ -176,6 +176,27 @@ def test_batch_stream_and_prefetcher(synth_dir):
     pf.close()
 
 
+def test_batch_stream_seek_is_deterministic(synth_dir):
+    """seek_batches(k) == drawing k batches: a resumed stream continues
+    exactly where a continuous run would be (across reshuffle
+    boundaries)."""
+    ds = PoseTransferDataset(_opt(synth_dir), "train")
+    k = (len(ds) // 3) * 2 + 5  # crosses at least one epoch boundary
+    a = BatchStream(ds, batch_size=3, seed=7, num_threads=1)
+    for _ in range(k):
+        a.next_indices()
+    b = BatchStream(ds, batch_size=3, seed=7, num_threads=1)
+    b.seek_batches(k)
+    assert a.epochs_completed == b.epochs_completed
+    for _ in range(4):
+        np.testing.assert_array_equal(a.next_indices(), b.next_indices())
+    # a different seed diverges (the equality above is not vacuous)
+    c = BatchStream(ds, batch_size=3, seed=8, num_threads=1)
+    c.seek_batches(k)
+    assert any(not np.array_equal(a.next_indices(), c.next_indices())
+               for _ in range(4))
+
+
 def test_unet_skips_warp_pipeline(synth_dir):
     """gen_type='unet' consumes the packed input only: the dataset must not
     pay host-side affine/polygon fits and the preparer must not emit (or
