@@ -8,6 +8,12 @@ update. Images/sec counts every image consumed per step
 (``batch · (2·ratio + 1)``), the same accounting a wall-clock-per-epoch
 measurement of the reference would give.
 
+A default (driver) run also times the h36m configuration (224², pose_dim
+16 — the reference's second dataset, src_deformable/commands:19-24) and
+embeds it as an ``"h36m"`` field of the same JSON line, so both headline
+numbers are recorded round-over-round. Any ``BENCH_*`` override (an A/B
+run) skips the secondary measurement.
+
 The reference records no throughput numbers anywhere (BASELINE.md), so
 ``vs_baseline`` is reported against the previous round's own measurement
 (``BENCH_PREV.json`` if present, else 1.0).
@@ -22,6 +28,14 @@ import os
 import time
 
 import numpy as np
+
+# measured throughput-optimal train batch per dataset on v5e with the
+# kernel-placed windowed fold (sweeps in CLAUDE.md); infer is HBM-bound
+# and fastest at batch 8
+_DATASETS = {
+    "fashion": dict(image_size=(256, 256), pose_dim=18, train_batch=32),
+    "h36m": dict(image_size=(224, 224), pose_dim=16, train_batch=48),
+}
 
 
 def _preflight_tunnel() -> None:
@@ -47,37 +61,31 @@ def _preflight_tunnel() -> None:
         s.close()
 
 
-def main() -> None:
-    _preflight_tunnel()
-    import jax
-
-    from pose_transfer_tpu.utils.cache import enable_compilation_cache
-    enable_compilation_cache()
+def _make_config(dataset: str, mode: str, batch: int | None = None):
     import jax.numpy as jnp
 
-    from pose_transfer_tpu.data.synthetic import synthetic_compact_batch
-    from pose_transfer_tpu.train.engine import (
-        GANConfig, create_state, make_train_step)
+    from pose_transfer_tpu.train.engine import GANConfig
 
-    # train batch 32 is the measured throughput-optimal point on v5e with
-    # the kernel-placed windowed fold (sweep in CLAUDE.md: 281 @ b8 →
-    # 294 @ b16 → 296.5 @ b32 → 290 @ b48 → OOM @ b64); infer is HBM-bound
-    # and fastest at batch 8 (381 img/s kernel-windowed).
-    # BENCH_BATCH/BENCH_WINDOWED/BENCH_PLACE override for A/B runs.
-    mode = os.environ.get("BENCH_MODE", "train")  # train | infer
-    batch = int(os.environ.get("BENCH_BATCH",
-                               "32" if mode == "train" else "8"))
+    spec = _DATASETS[dataset]
+    if batch is None:
+        batch = spec["train_batch"] if mode == "train" else 8
     ww = os.environ.get("BENCH_WINDOWED", "auto")
     windowed = None if ww == "auto" else ww != "0"
-    config = GANConfig(image_size=(256, 256), pose_dim=18, batch_size=batch,
-                       warp_skip="mask", gen_type="baseline",
-                       training_ratio=1, compute_dtype=jnp.bfloat16,
-                       warp_windowed=windowed,
-                       warp_place=os.environ.get("BENCH_PLACE", "auto"))
+    return GANConfig(image_size=spec["image_size"],
+                     pose_dim=spec["pose_dim"], batch_size=batch,
+                     warp_skip="mask", gen_type="baseline",
+                     training_ratio=1, compute_dtype=jnp.bfloat16,
+                     warp_windowed=windowed,
+                     warp_place=os.environ.get("BENCH_PLACE", "auto"))
+
+
+def _bench_train(config, iters: int) -> float:
+    import jax
+
+    from pose_transfer_tpu.data.synthetic import synthetic_compact_batch
+    from pose_transfer_tpu.train.engine import create_state, make_train_step
+
     state, gen, disc = create_state(config, seed=0)
-    if mode == "infer":
-        _bench_infer(config, gen, state)
-        return
     step = jax.jit(make_train_step(config, gen, disc), donate_argnums=(0,))
 
     rng = np.random.default_rng(0)
@@ -95,7 +103,6 @@ def main() -> None:
     gen_m = np.asarray(metrics["gen"])
     assert np.isfinite(gen_m).all(), f"non-finite losses: {gen_m}"
 
-    iters = int(os.environ.get("BENCH_ITERS", "20"))
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics, _ = step(state, fake, real, gen_batch)
@@ -103,33 +110,17 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     images_per_step = config.batch_size * (2 * config.training_ratio + 1)
-    ips = iters * images_per_step / dt
-
-    prev = None
-    if os.path.exists("BENCH_PREV.json"):
-        try:
-            with open("BENCH_PREV.json") as f:
-                prev = json.load(f).get("value")
-        except Exception:
-            prev = None
-    vs = ips / prev if prev else 1.0
-
-    print(json.dumps({
-        "metric": "train_images_per_sec_per_chip_full_deformable_fashion256",
-        "value": round(ips, 2),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(vs, 3),
-        "batch": batch,
-    }))
+    return iters * images_per_step / dt
 
 
-def _bench_infer(config, gen, state) -> None:
+def _bench_infer(config, iters: int) -> float:
     """BENCH_MODE=infer: generator-forward serving throughput."""
     import jax
 
     from pose_transfer_tpu.data.synthetic import synthetic_compact_batch
-    from pose_transfer_tpu.train.engine import make_eval_step
+    from pose_transfer_tpu.train.engine import create_state, make_eval_step
 
+    state, gen, _ = create_state(config, seed=0)
     eval_step = make_eval_step(config, gen)
     rng = np.random.default_rng(0)
     raw = jax.device_put(synthetic_compact_batch(
@@ -139,19 +130,62 @@ def _bench_infer(config, gen, state) -> None:
     jax.block_until_ready(out)
     float(out.astype("float32").sum())  # force through the tunnel
 
-    iters = int(os.environ.get("BENCH_ITERS", "30"))
     t0 = time.perf_counter()
     for _ in range(iters):
         out, _ = eval_step(state.gen_params, raw)
     float(out.astype("float32").sum())
     dt = time.perf_counter() - t0
-    ips = iters * config.batch_size / dt
-    print(json.dumps({
-        "metric": "infer_images_per_sec_per_chip_deformable_fashion256",
+    return iters * config.batch_size / dt
+
+
+def main() -> None:
+    _preflight_tunnel()
+
+    from pose_transfer_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    mode = os.environ.get("BENCH_MODE", "train")  # train | infer
+    dataset = os.environ.get("BENCH_DATASET", "fashion")
+    batch = os.environ.get("BENCH_BATCH")
+    batch = int(batch) if batch else None
+    iters = int(os.environ.get("BENCH_ITERS",
+                               "20" if mode == "train" else "30"))
+    # a pure driver run (no overrides) also records the h36m number
+    secondary = (mode == "train" and dataset == "fashion"
+                 and not any(os.environ.get(k) for k in
+                             ("BENCH_BATCH", "BENCH_WINDOWED",
+                              "BENCH_PLACE", "BENCH_DATASET")))
+
+    run = _bench_train if mode == "train" else _bench_infer
+    config = _make_config(dataset, mode, batch)
+    ips = run(config, iters)
+
+    prev = None
+    if os.path.exists("BENCH_PREV.json"):
+        try:
+            with open("BENCH_PREV.json") as f:
+                prev = json.load(f).get("value")
+        except Exception:
+            prev = None
+
+    tag = "fashion256" if dataset == "fashion" else "h36m224"
+    record = {
+        "metric": f"{mode}_images_per_sec_per_chip_full_deformable_{tag}",
         "value": round(ips, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": 1.0,
-    }))
+        "vs_baseline": round(ips / prev, 3) if prev else 1.0,
+        "batch": config.batch_size,
+    }
+    if secondary:
+        h_cfg = _make_config("h36m", mode)
+        h_ips = run(h_cfg, iters)
+        record["h36m"] = {
+            "metric": "train_images_per_sec_per_chip_full_deformable_h36m224",
+            "value": round(h_ips, 2),
+            "unit": "images/sec/chip",
+            "batch": h_cfg.batch_size,
+        }
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -170,6 +170,10 @@ class Opts:
         opt.pairs_file_test_iterative = d + ds + "-pairs-test-iterative.csv"
         opt.pairs_file_train_interpol = d + ds + "-pairs-train-interpol.csv"
         opt.pairs_file_test_interpol = d + ds + "-pairs-test-interpol.csv"
+        # baseline-tree check-mode overfit-smoke CSVs (src_baseline/opts.py
+        # :118-119)
+        opt.pairs_file_train_check = d + ds + "-pairs-train-check.csv"
+        opt.pairs_file_test_check = d + ds + "-pairs-test-check.csv"
         opt.tmp_pose_dir = "tmp/" + ds + "/"
 
         os.makedirs(opt.saveDir, exist_ok=True)

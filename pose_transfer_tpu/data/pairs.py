@@ -117,6 +117,17 @@ def write_pair_files(opt) -> tuple[int, int]:
         pairs = build_pairs(ann, opt.pose_dim, limit)
         print(f"Compute pair dataset for {split}... "
               f"Number of pairs: {len(pairs)}")
+        if getattr(opt, "checkMode", 0):
+            # the baseline tree's overfit-smoke CSVs: a seeded 4000-pair
+            # sample written to the -check path instead of the full file
+            # (src_baseline/utils/create_pairs.py:114-127)
+            sampled = pairs.sample(n=min(4000, len(pairs)), replace=False,
+                                   random_state=0)
+            print(f"Number of pairs: {len(sampled)}")
+            sampled.to_csv(getattr(opt, f"pairs_file_{split}_check"),
+                           index=False)
+            counts.append(len(sampled))
+            continue
         pairs.to_csv(getattr(opt, f"pairs_file_{split}"), index=False)
         # the deformable-tree dataset reads the -interpol pairs files
         # (PoseTransfer_Dataset.py:30-31); write them too so a fresh

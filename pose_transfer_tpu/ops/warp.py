@@ -787,13 +787,15 @@ def _place_actives(t, static_empty):
 
 
 def _use_place_kernel(place_impl, h, w, c, t, warp_agg, has_masks, windowed,
-                      static_empty):
+                      static_empty, itemsize=2):
     """Resolve the placement implementation for the windowed fold.
 
     'xla' keeps the dynamic-slice/update chains (any backend); 'kernel'
     uses the Pallas placement kernels (``ops.warp_fused``) — on non-TPU
     backends they run in interpret mode (slow; tests only). 'auto' picks
-    the kernel on TPU when the shape qualifies.
+    the kernel on TPU when the shape qualifies (incl. the VMEM budget —
+    ``itemsize`` is the compute dtype's; the custom VJP guarantees the
+    backward cotangent dtype matches, so fwd/bwd resolve identically).
     """
     if place_impl == "xla" or not windowed or not has_masks \
             or warp_agg != "max":
@@ -802,7 +804,7 @@ def _use_place_kernel(place_impl, h, w, c, t, warp_agg, has_masks, windowed,
         return False
     sizes = _kernel_window_sizes(h, w)
     from . import warp_fused
-    if sizes is None or not warp_fused.supported(h, w, c, *sizes) \
+    if sizes is None or not warp_fused.supported(h, w, c, *sizes, itemsize) \
             or not _place_actives(t, static_empty):
         return False
     if place_impl == "kernel":
@@ -810,23 +812,81 @@ def _use_place_kernel(place_impl, h, w, c, t, warp_agg, has_masks, windowed,
     return jax.default_backend() == "tpu"
 
 
+def _place_batch_chunk(n, h, w, c, p, itemsize) -> int:
+    """Per-call batch size for the kernel-placed windowed fold.
+
+    The fold's transient stacks scale with batch: the joint pass-1 stack
+    (N,P,S_y,W,C) plus the wins stack (N,P,S_y,S_x,C) — ~2.8 GB at
+    batch 48 / 256² stage 0, which still fits, but batch 64 (~3.8 GB)
+    OOMs 16 GB HBM alongside the model's activations. Chunking the batch
+    through the whole fold (einsums + kernel, sequenced by ``lax.map``)
+    bounds peak residency with ZERO extra compute or traffic — each
+    sample's fold is independent. ``PT_WARP_PLACE_CHUNK_MB`` overrides the
+    per-call stack budget (default 3072 MB ≈ the measured b48 high-water
+    mark, so batches ≤ 48 keep the single-call plan unchanged).
+    """
+    import os
+    s_y, s_x = _kernel_window_sizes(h, w)
+    cap = int(os.environ.get("PT_WARP_PLACE_CHUNK_MB", "3072") or 3072)
+    per_sample = p * s_y * (w + s_x) * c * itemsize
+    if n * per_sample <= cap * 2**20:
+        return n
+    nc = max(1, (cap * 2**20) // per_sample)
+    while n % nc:
+        nc -= 1
+    return nc
+
+
+def _map_chunked(fn, n_chunk, arrays):
+    """Run ``fn`` over batch chunks of ``arrays`` sequentially (lax.map —
+    one chunk's transients live at a time), restoring the batch axis."""
+    n = arrays[0].shape[0]
+    k = n // n_chunk
+    resh = tuple(a.reshape(k, n_chunk, *a.shape[1:]) for a in arrays)
+    outs = jax.lax.map(fn, resh)
+    return jax.tree.map(
+        lambda o: o.reshape(n, *o.shape[2:]), outs)
+
+
 def _fold_windowed_place(features, warps, masks_r, init_image_size,
                          windows, static_empty=()):
     """Kernel-placed windowed max fold: XLA computes the body warp and the
-    pre-masked windowed part warps (batched einsums); the Pallas placement
-    kernel does the per-sample window placement + max/argmax bookkeeping
-    that XLA could only express as per-sample dynamic-slice/update chains
-    (the dominant fold cost at batch ≥ 16 — see ops/warp_fused.py).
+    windowed part warps (batched einsums); the Pallas placement kernel
+    does the per-sample window placement + mask multiply + max/argmax
+    bookkeeping + final zero-contribution pass that XLA could only express
+    as per-sample dynamic-slice/update chains and full-res elementwise
+    passes (the dominant fold cost at batch ≥ 16 — see ops/warp_fused.py).
 
     Same semantics as ``_fold_windowed`` with bf16 argmax: strict ``>``
     (earliest part wins ties), zero-contribution pass with idx = -1 for
     exactly-zero winners.
+
+    Large batches run in ``lax.map``-sequenced chunks so the fold's
+    transient window stacks never exceed a fixed budget
+    (``_place_batch_chunk`` — fixes the batch-64 OOM at 256²).
     """
+    n, h, w, c = features.shape
+    t = warps.shape[1]
+    y0, x0 = windows[0], windows[1]
+    p = len(_place_actives(t, static_empty))
+    nc = _place_batch_chunk(n, h, w, c, p, features.dtype.itemsize)
+    if nc < n:
+        return _map_chunked(
+            lambda a: _fold_windowed_place_impl(
+                a[0], a[1], a[2], init_image_size, (a[3], a[4]),
+                static_empty),
+            nc, (features, warps, masks_r, y0, x0))
+    return _fold_windowed_place_impl(features, warps, masks_r,
+                                     init_image_size, (y0, x0), static_empty)
+
+
+def _fold_windowed_place_impl(features, warps, masks_r, init_image_size,
+                              windows, static_empty=()):
     from . import warp_fused
 
     n, h, w, c = features.shape
     t = warps.shape[1]
-    y0, x0, _, _ = windows
+    y0, x0 = windows[0], windows[1]
     s_y, s_x = _kernel_window_sizes(h, w)
     actives = _place_actives(t, static_empty)
 
@@ -838,52 +898,65 @@ def _fold_windowed_place(features, warps, masks_r, init_image_size,
                                  s_y, s_x, init_image_size)
     mwins = jnp.stack([_slice_win(masks_r[:, i], y0[:, i], x0[:, i],
                                   s_y, s_x) for i in sel], axis=1)
-    wins = wins * mwins[..., None]
     offs = _place_offs(y0, x0, actives)
 
-    interpret = jax.default_backend() != "tpu"
-    out, idx = warp_fused.fold_place(body, wins, offs, interpret)
-
     if static_empty:
-        zero_exists = jnp.ones((n, h, w, 1), bool)
+        # a statically-empty part contributes zero at EVERY pixel
+        zero_nb = jnp.ones((n, h, w), features.dtype)
     else:
-        zero_exists = (masks_r[:, 1:] == 0).any(axis=1)[..., None]
-    take0 = zero_exists & (out < 0)
-    out = jnp.where(take0, jnp.zeros((), out.dtype), out)
-    idx = jnp.where(take0, jnp.asarray(-1, idx.dtype), idx)
+        zero_nb = (masks_r[:, 1:] == 0).any(axis=1).astype(features.dtype)
+
+    interpret = jax.default_backend() != "tpu"
+    out, idx = warp_fused.fold_place(body, wins, mwins, zero_nb, offs,
+                                     interpret)
     return out, idx
 
 
 def _fold_windowed_place_bwd(g, warps, masks_r, idx, init_image_size,
                              windows, static_empty=()):
     """Backward of ``_fold_windowed_place``: the routing kernel slices the
-    cotangent/argmax windows per part; XLA keeps the transposed einsums,
-    with all parts' pass-2 contractions fused into ONE joint dot
+    cotangent/argmax windows per part (mask-multiplied in VMEM) and emits
+    the body route from its resident blocks; XLA keeps the transposed
+    einsums, with all parts' pass-2 contractions fused into ONE joint dot
     (``_warp_batch_t_win_joint`` — the per-part loop's df accumulate
-    epilogues were pure HBM traffic)."""
+    epilogues were pure HBM traffic). Batch-chunked like the forward."""
+    n, h, w, c = g.shape
+    t = warps.shape[1]
+    y0, x0 = windows[0], windows[1]
+    p = len(_place_actives(t, static_empty))
+    nc = _place_batch_chunk(n, h, w, c, p, g.dtype.itemsize)
+    if nc < n:
+        return _map_chunked(
+            lambda a: _fold_windowed_place_bwd_impl(
+                a[0], a[1], a[2], a[3], init_image_size, (a[4], a[5]),
+                static_empty),
+            nc, (g, warps, masks_r, idx, y0, x0))
+    return _fold_windowed_place_bwd_impl(g, warps, masks_r, idx,
+                                         init_image_size, (y0, x0),
+                                         static_empty)
+
+
+def _fold_windowed_place_bwd_impl(g, warps, masks_r, idx, init_image_size,
+                                  windows, static_empty=()):
     from . import warp_fused
 
     n, h, w, c = g.shape
     t = warps.shape[1]
-    y0, x0, _, _ = windows
+    y0, x0 = windows[0], windows[1]
     s_y, s_x = _kernel_window_sizes(h, w)
     actives = _place_actives(t, static_empty)
-
-    gm0 = jnp.where(idx == jnp.asarray(0, idx.dtype), g,
-                    jnp.zeros((), g.dtype))
-    gm0 = gm0 * masks_r[:, 0][..., None]
-    df0 = _warp_batch_t(gm0.astype(g.dtype), warps[:, 0],
-                        init_image_size).astype(jnp.float32)
-
-    offs = _place_offs(y0, x0, actives)
-    interpret = jax.default_backend() != "tpu"
-    gwins = warp_fused.fold_route(g, idx, offs, s_y, s_x, interpret)
 
     sel = list(actives)
     mwins = jnp.stack([_slice_win(masks_r[:, i], y0[:, i], x0[:, i],
                                   s_y, s_x) for i in sel], axis=1)
-    gm = (gwins * mwins[..., None]).astype(g.dtype)
-    dfp = _warp_batch_t_win_joint(gm, warps[:, sel],
+    offs = _place_offs(y0, x0, actives)
+    interpret = jax.default_backend() != "tpu"
+    gm, gm0 = warp_fused.fold_route(g, idx, masks_r[:, 0], mwins, offs,
+                                    s_y, s_x, interpret)
+
+    df0 = _warp_batch_t(gm0.astype(g.dtype), warps[:, 0],
+                        init_image_size).astype(jnp.float32)
+    dfp = _warp_batch_t_win_joint(gm.astype(g.dtype), warps[:, sel],
                                   y0[:, sel], x0[:, sel],
                                   h, w, init_image_size)
     return df0 + dfp
@@ -986,7 +1059,7 @@ def _fold_fwd(features, warps, masks_r, init_image_size, warp_agg, windowed,
     t = warps.shape[1]
     use_kernel = _use_place_kernel(place_impl, h, w, c, t, warp_agg,
                                    masks_r is not None, windowed,
-                                   static_empty)
+                                   static_empty, features.dtype.itemsize)
     if use_kernel:
         from .warp_fused import X_ALIGN
         windows = _fold_windows(masks_r, h, w, windowed, x_align=X_ALIGN,
@@ -1025,7 +1098,7 @@ def _fold_bwd(init_image_size, warp_agg, windowed, static_empty, place_impl,
     t = warps.shape[1]
     use_kernel = windows is not None and _use_place_kernel(
         place_impl, g.shape[1], g.shape[2], g.shape[3], t, warp_agg,
-        masks_r is not None, windowed, static_empty)
+        masks_r is not None, windowed, static_empty, g.dtype.itemsize)
 
     def back_full(_):
         # mirror _fold_scan's static compaction: idx stores COMPACTED

@@ -78,14 +78,20 @@ def _vmem_params():
     return pltpu.CompilerParams(vmem_limit_bytes=127 * 1024 * 1024)
 
 
-def _place_kernel(rch, offs_ref, body_ref, wins_ref, out_ref, idx_ref):
+def _place_kernel(rch, offs_ref, zero_ref, body_ref, wins_ref, mwins_ref,
+                  out_ref, idx_ref):
     """One (sample, part) cell: strict-> max-update of the part's window.
 
     offs_ref: (1, P, 3) SMEM int32 [y0, x0, part_index] per part
     (x0 X_ALIGN-aligned; part_index is the original part number stored
     into the argmax).
+    zero_ref: (1, H, W) 'some non-body part contributes an exact zero
+    here' flags (> 0 = true) — consumed by the fused final
+    zero-contribution pass at the last part.
     body_ref: (1, H, W, C) pre-masked body warp (initialises the fold).
-    wins_ref: (1, 1, SY, SX, C) this part's pre-masked windowed warp.
+    wins_ref: (1, 1, SY, SX, C) this part's UNMASKED windowed warp; the
+    mask window (mwins_ref, (1, 1, SY, SX)) multiplies in VMEM — the
+    pre-masked wins stack never round-trips HBM for the multiply.
     out_ref/idx_ref: (1, H, W, C) running max / bf16 argmax — resident in
     VMEM across the part dimension (innermost grid dim, constant index map).
     """
@@ -105,7 +111,15 @@ def _place_kernel(rch, offs_ref, body_ref, wins_ref, out_ref, idx_ref):
     def chunk(i, _):
         r0 = y0 + i * rch
         cur = out_ref[0, pl.ds(r0, rch), pl.ds(x0, sx), :]
-        z = wins_ref[0, 0, pl.ds(i * rch, rch)]
+        # mask multiply in f32 (Mosaic only inserts minor dims on 32-bit
+        # lanes), rounded back to the wins dtype BEFORE the compare — the
+        # f32 product of two bf16 values is exact and its bf16 rounding is
+        # bit-identical to XLA's bf16 elementwise multiply, and comparing
+        # the rounded value keeps argmax ties identical to the XLA path.
+        mw = mwins_ref[0, 0, pl.ds(i * rch, rch)].astype(jnp.float32)
+        zf = wins_ref[0, 0, pl.ds(i * rch, rch)].astype(jnp.float32) \
+            * mw[..., None]
+        z = zf.astype(out_ref.dtype)
         take = z.astype(jnp.float32) > cur.astype(jnp.float32)
         out_ref[0, pl.ds(r0, rch), pl.ds(x0, sx), :] = \
             jnp.where(take, z, cur)
@@ -116,21 +130,42 @@ def _place_kernel(rch, offs_ref, body_ref, wins_ref, out_ref, idx_ref):
 
     jax.lax.fori_loop(0, sy // rch, chunk, 0)
 
+    # fused zero-contribution pass: where some non-body part contributed
+    # an exact zero and the running max is negative, zero wins (idx -1 —
+    # a dropped gradient, same subgradient rule as the XLA post-pass this
+    # replaces). Runs on the VMEM-resident blocks at the last part, before
+    # their single HBM writeback — the out/idx full-res read-modify-write
+    # XLA pass this used to be is gone.
+    @pl.when(p == pl.num_programs(1) - 1)
+    def _():
+        # f32 minor-dim insertion (Mosaic 32-bit-lane rule), broadcast
+        # against the channel axis via compare
+        zero = zero_ref[...].astype(jnp.float32)[..., None]   # (1,H,W,1)
+        out = out_ref[...]
+        take0 = (zero > 0.0) & (out.astype(jnp.float32) < 0.0)
+        out_ref[...] = jnp.where(take0, jnp.zeros((), out.dtype), out)
+        idx = idx_ref[...]
+        idx_ref[...] = jnp.where(take0, jnp.asarray(-1.0, idx.dtype), idx)
 
-def fold_place(body: jax.Array, wins: jax.Array, offs: jax.Array,
+
+def fold_place(body: jax.Array, wins: jax.Array, mwins: jax.Array,
+               zero_nb: jax.Array, offs: jax.Array,
                interpret: bool = False):
-    """Window-placement max fold.
+    """Window-placement max fold (mask multiply + zero pass fused in).
 
     Args:
       body: (N, H, W, C) pre-masked full-resolution body warp (part 0).
-      wins: (N, P, SY, SX, C) pre-masked windowed part warps, in fold order.
+      wins: (N, P, SY, SX, C) UNMASKED windowed part warps, in fold order.
+      mwins: (N, P, SY, SX) resized-mask windows (multiplied in VMEM).
+      zero_nb: (N, H, W) flags (> 0) marking pixels where some non-body
+        part contributes an exact zero (drives the final zero pass).
       offs: (N, P, 3) int32 [y0, x0, part_index] per part; x0
         X_ALIGN-aligned, in-bounds (``_support_windows`` guarantees both),
         part_index = original part number stored into the argmax.
 
     Returns:
-      out: (N, H, W, C) max-fold (before the caller's zero-contribution
-        pass); idx: (N, H, W, C) bf16 argmax part index.
+      out: (N, H, W, C) max-fold, zero pass applied; idx: (N, H, W, C)
+        bf16 argmax part index (-1 where zero won).
     """
     n, h, w, c = body.shape
     p = wins.shape[1]
@@ -142,9 +177,13 @@ def fold_place(body: jax.Array, wins: jax.Array, offs: jax.Array,
         in_specs=[
             pl.BlockSpec((1, p, 3), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h, w), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, sy, sx, c), lambda i, j: (i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sy, sx), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -159,17 +198,31 @@ def fold_place(body: jax.Array, wins: jax.Array, offs: jax.Array,
         ],
         compiler_params=_vmem_params(),
         interpret=interpret,
-    )(offs, body, wins)
+    )(offs, zero_nb, body, wins, mwins)
 
 
-def _route_kernel(rch, offs_ref, g_ref, idx_ref, gwin_ref):
+def _route_kernel(rch, offs_ref, g_ref, idx_ref, mask0_ref, mwins_ref,
+                  gwin_ref, gbody_ref):
     """One (sample, part) cell: route the cotangent window to this part.
 
-    gwin = g[window] where idx[window] == part else 0.
+    gwin = g[window] · mask_window where idx[window] == part else 0 —
+    pre-masked for XLA's transposed einsums, so the routed stack makes
+    only one HBM trip. At part 0 the body route (gbody = g·mask0 where
+    idx == 0) is emitted from the already-resident g/idx blocks, replacing
+    a full-res XLA where+multiply pass.
     g_ref/idx_ref blocks are resident across the part dimension.
     """
     p = pl.program_id(1)
     sy, sx = gwin_ref.shape[2], gwin_ref.shape[3]
+
+    @pl.when(p == 0)
+    def _():
+        gb = g_ref[...]
+        sel0 = idx_ref[...].astype(jnp.float32) == 0.0
+        # f32 broadcast/multiply, rounded back (see _place_kernel.chunk)
+        m0 = mask0_ref[...].astype(jnp.float32)[..., None]
+        gsel = jnp.where(sel0, gb, jnp.zeros((), gb.dtype))
+        gbody_ref[...] = (gsel.astype(jnp.float32) * m0).astype(gb.dtype)
 
     y0 = offs_ref[0, p, 0]
     x0 = pl.multiple_of(offs_ref[0, p, 1], X_ALIGN)
@@ -179,28 +232,34 @@ def _route_kernel(rch, offs_ref, g_ref, idx_ref, gwin_ref):
         r0 = y0 + i * rch
         gw = g_ref[0, pl.ds(r0, rch), pl.ds(x0, sx), :]
         iw = idx_ref[0, pl.ds(r0, rch), pl.ds(x0, sx), :]
+        mw = mwins_ref[0, 0, pl.ds(i * rch, rch)].astype(jnp.float32)
         sel = iw.astype(jnp.float32) == pv
+        gsel = jnp.where(sel, gw, jnp.zeros((), gw.dtype))
         gwin_ref[0, 0, pl.ds(i * rch, rch)] = \
-            jnp.where(sel, gw, jnp.zeros((), gw.dtype))
+            (gsel.astype(jnp.float32) * mw[..., None]).astype(gw.dtype)
         return 0
 
     jax.lax.fori_loop(0, sy // rch, chunk, 0)
 
 
-def fold_route(g: jax.Array, idx: jax.Array, offs: jax.Array,
-               sy: int, sx: int, interpret: bool = False) -> jax.Array:
-    """Backward router: stacked per-part window cotangents.
+def fold_route(g: jax.Array, idx: jax.Array, mask0: jax.Array,
+               mwins: jax.Array, offs: jax.Array,
+               sy: int, sx: int, interpret: bool = False):
+    """Backward router: stacked per-part window cotangents + body route.
 
     Args:
       g: (N, H, W, C) fold cotangent.
-      idx: (N, H, W, C) bf16 argmax from ``fold_place`` (after the caller's
-        zero pass — -1 entries route to no part).
+      idx: (N, H, W, C) bf16 argmax from ``fold_place`` (zero pass applied
+        in-kernel — -1 entries route to no part).
+      mask0: (N, H, W) resized body mask (multiplies the body route).
+      mwins: (N, P, SY, SX) resized-mask windows (multiply the routed
+        window cotangents in VMEM).
       offs: as in ``fold_place``.
       sy, sx: static window sizes.
 
     Returns:
-      (N, P, SY, SX, C) routed window cotangents (unmasked — the caller
-      multiplies the mask windows into XLA's transposed einsums).
+      gwins: (N, P, SY, SX, C) routed, mask-multiplied window cotangents;
+      gbody: (N, H, W, C) body-routed cotangent (idx == 0, ·mask0).
     """
     n, h, w, c = g.shape
     p = offs.shape[1]
@@ -215,18 +274,42 @@ def fold_route(g: jax.Array, idx: jax.Array, offs: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sy, sx), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, sy, sx, c),
-                               lambda i, j: (i, j, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, p, sy, sx, c), g.dtype),
+        out_specs=[
+            pl.BlockSpec((1, 1, sy, sx, c), lambda i, j: (i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, p, sy, sx, c), g.dtype),
+            jax.ShapeDtypeStruct((n, h, w, c), g.dtype),
+        ],
         compiler_params=_vmem_params(),
         interpret=interpret,
-    )(offs, g, idx)
+    )(offs, g, idx, mask0, mwins)
 
 
-def supported(h: int, w: int, c: int, s_y: int, s_x: int) -> bool:
+def supported(h: int, w: int, c: int, s_y: int, s_x: int,
+              itemsize: int = 2) -> bool:
     """Shapes the placement kernels handle: chunked rows, sublane-tileable
-    window width/starts, lane-tileable channels."""
-    return (s_y % RCH == 0 and s_x % 16 == 0 and w % X_ALIGN == 0
-            and c % 8 == 0)
+    window width/starts, lane-tileable channels — and a VMEM budget that
+    fits the v5e scoped limit (the big blocks are double-buffered across
+    samples; f32 at 256²/C=64 measures 167 MB > the 127 MB limit, so it
+    falls back to the XLA placement path)."""
+    if not (s_y % RCH == 0 and s_x % 16 == 0 and w % X_ALIGN == 0
+            and c % 8 == 0):
+        return False
+    pc = -(-c // 128) * 128       # lane padding of the channel dim
+    px = -(-s_x // 128) * 128     # lane padding of the mask-window width
+    pw = -(-w // 128) * 128       # lane padding of the zero-flag width
+    # dominant residents ×2 buffering levels: place = body+out (itemsize)
+    # + idx (bf16); route = g+gbody (itemsize) + idx (bf16) — same term.
+    resid = 2 * h * w * pc * (2 * itemsize + 2)
+    wins = 2 * s_y * s_x * pc * itemsize          # wins / gwin window
+    small = 2 * (s_y * px + h * pw) * itemsize    # mwins + zero/mask0
+    return resid + wins + small <= 120 * 1024 * 1024

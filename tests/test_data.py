@@ -271,3 +271,29 @@ def test_prefetcher_propagates_worker_errors():
     with pytest.raises(RuntimeError, match="boom"):
         next(pf)
     pf.close()
+
+
+def test_write_pair_files_check_mode(synth_dir, tmp_path):
+    """checkMode writes the seeded ≤4000-pair sample to the -check CSVs
+    and nothing else (src_baseline/utils/create_pairs.py:114-127)."""
+    import types
+
+    opt = types.SimpleNamespace(
+        pose_dim=18, images_for_train=None, images_for_test=None,
+        checkMode=1, write_iterative=0, frame_diff=10,
+        annotations_file_train=f"{synth_dir}/fasion-annotation-train.csv",
+        annotations_file_test=f"{synth_dir}/fasion-annotation-test.csv",
+        pairs_file_train=str(tmp_path / "p-train.csv"),
+        pairs_file_test=str(tmp_path / "p-test.csv"),
+        pairs_file_train_interpol=str(tmp_path / "p-train-i.csv"),
+        pairs_file_test_interpol=str(tmp_path / "p-test-i.csv"),
+        pairs_file_train_check=str(tmp_path / "p-train-check.csv"),
+        pairs_file_test_check=str(tmp_path / "p-test-check.csv"),
+    )
+    n_train, n_test = pairs_mod.write_pair_files(opt)
+    got = pd.read_csv(opt.pairs_file_train_check)
+    assert len(got) == n_train <= 4000
+    assert not (tmp_path / "p-train.csv").exists()
+    # seeded: a second run produces the identical sample
+    pairs_mod.write_pair_files(opt)
+    pd.testing.assert_frame_equal(got, pd.read_csv(opt.pairs_file_train_check))

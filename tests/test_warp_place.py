@@ -140,3 +140,24 @@ def test_aligned_support_windows_cover_and_fit():
             ys, xs = np.where(nz[n, t])
             assert ys.min() >= y0a[n, t] and ys.max() < y0a[n, t] + s
             assert xs.min() >= x0a[n, t] and xs.max() < x0a[n, t] + s
+
+
+def test_batch_chunked_placement_matches(monkeypatch):
+    """PT_WARP_PLACE_CHUNK_MB forces the lax.map batch-chunked fold (the
+    b64-OOM guard) — forward and gradient must match the single-call
+    plan (chunking only sequences independent per-sample folds)."""
+    f, warps, masks, g = _inputs(fit=True)
+    fold = lambda x: warp_fold_matmul(  # noqa: E731
+        x, warps, masks, IMG, "max", True, (), "kernel")
+    out_ref, vjp_ref = jax.vjp(fold, f)
+    df_ref = vjp_ref(g)[0]
+    # per-sample stack at this shape (3 active parts) is ~0.66 MB → a
+    # 1 MB cap chunks N=2 into two single-sample calls
+    monkeypatch.setenv("PT_WARP_PLACE_CHUNK_MB", "1")
+    from pose_transfer_tpu.ops.warp import _place_batch_chunk
+    assert _place_batch_chunk(N, H, W, C, 3, 4) == 1
+    out_c, vjp_c = jax.vjp(fold, f)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_ref),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(vjp_c(g)[0]), np.asarray(df_ref),
+                               atol=2e-5)
