@@ -150,6 +150,7 @@ def main(argv=None):
                       stream_train, stream_test, metrics_log, start_epoch,
                       profile_remaining, profiling)
     finally:
+        metrics_log.close()
         # join (and surface failures from) in-flight async checkpoint
         # saves even when the loop raises — a checkpoint the caller
         # believes saved must exist or the run must fail loudly

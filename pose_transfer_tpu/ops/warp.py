@@ -293,13 +293,19 @@ def warp_feature_matmul(features: jax.Array, transform: jax.Array,
     n, h, w, c = features.shape
     wy, wx = _two_pass_weights(transform, h, w, init_image_size,
                                features.dtype)
+    # preferred_element_type = the COMPUTE dtype: the MXU still
+    # accumulates in f32 and rounds once in the dot epilogue — bit-equal
+    # to the old f32-output + astype, but the convert no longer
+    # materializes as a separate full-stack copy pass (measured ~10 ms of
+    # convert_element_type copies per stage-0 fold instance at b32; the
+    # f32 pass-1 stack it rounded was ~2.4 GB).
     # pass 1 (vertical): tmp[n, yo, x, c] = Σ_y wy[x, yo, y] · img[n, y, x, c]
     tmp = jnp.einsum("xoy,nyxc->noxc", wy, features,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=features.dtype)
     # pass 2 (horizontal): out[n, yo, xo, c] = Σ_x wx[yo, xo, x]·tmp[n,yo,x,c]
-    out = jnp.einsum("oax,noxc->noac", wx, tmp.astype(features.dtype),
-                     preferred_element_type=jnp.float32)
-    return out.astype(features.dtype)
+    out = jnp.einsum("oax,noxc->noac", wx, tmp,
+                     preferred_element_type=features.dtype)
+    return out
 
 
 def warp_feature_matmul_t(cotangent: jax.Array, transform: jax.Array,
@@ -313,11 +319,13 @@ def warp_feature_matmul_t(cotangent: jax.Array, transform: jax.Array,
     n, h, w, c = cotangent.shape
     wy, wx = _two_pass_weights(transform, h, w, init_image_size,
                                cotangent.dtype)
+    # compute-dtype dot outputs (f32 accumulate + epilogue round; see
+    # warp_feature_matmul) — no materialized convert passes
     dtmp = jnp.einsum("oax,noac->noxc", wx, cotangent,
-                      preferred_element_type=jnp.float32)
-    df = jnp.einsum("xoy,noxc->nyxc", wy, dtmp.astype(cotangent.dtype),
-                    preferred_element_type=jnp.float32)
-    return df.astype(cotangent.dtype)
+                      preferred_element_type=cotangent.dtype)
+    df = jnp.einsum("xoy,noxc->nyxc", wy, dtmp,
+                    preferred_element_type=cotangent.dtype)
+    return df
 
 
 def _warp_batch(features, warps_t, init_image_size):
@@ -396,10 +404,10 @@ def _warp_batch_win(features, warps_t, y0, x0, s_y, s_x, init_image_size):
         wy, wx = _two_pass_weights(tr, h, w, init_image_size, f.dtype,
                                    y0=yy, x0=xx, s_y=s_y, s_x=s_x)
         tmp = jnp.einsum("xoy,yxc->oxc", wy, f,
-                         preferred_element_type=jnp.float32)
-        out = jnp.einsum("oax,oxc->oac", wx, tmp.astype(f.dtype),
-                         preferred_element_type=jnp.float32)
-        return out.astype(f.dtype)
+                         preferred_element_type=f.dtype)
+        out = jnp.einsum("oax,oxc->oac", wx, tmp,
+                         preferred_element_type=f.dtype)
+        return out
 
     return jax.vmap(one)(features, warps_t, y0, x0)
 
@@ -420,10 +428,10 @@ def _warp_batch_win_joint(features, warps_act, y0s, x0s, s_y, s_x,
                                      y0=yy, x0=xx, s_y=s_y, s_x=s_x)
         wy, wx = jax.vmap(weights)(trs, yys, xxs)
         tmp = jnp.einsum("pxoy,yxc->poxc", wy, f,
-                         preferred_element_type=jnp.float32)
-        out = jnp.einsum("poax,poxc->poac", wx, tmp.astype(f.dtype),
-                         preferred_element_type=jnp.float32)
-        return out.astype(f.dtype)
+                         preferred_element_type=f.dtype)
+        out = jnp.einsum("poax,poxc->poac", wx, tmp,
+                         preferred_element_type=f.dtype)
+        return out
 
     joint = jax.vmap(one)
     p = warps_act.shape[1]
@@ -445,10 +453,10 @@ def _warp_batch_t_win(g_win, warps_t, y0, x0, h, w, init_image_size):
         wy, wx = _two_pass_weights(tr, h, w, init_image_size, gg.dtype,
                                    y0=yy, x0=xx, s_y=s_y, s_x=s_x)
         dtmp = jnp.einsum("oax,oac->oxc", wx, gg,
-                          preferred_element_type=jnp.float32)
-        df = jnp.einsum("xoy,oxc->yxc", wy, dtmp.astype(gg.dtype),
-                        preferred_element_type=jnp.float32)
-        return df.astype(gg.dtype)
+                          preferred_element_type=gg.dtype)
+        df = jnp.einsum("xoy,oxc->yxc", wy, dtmp,
+                        preferred_element_type=gg.dtype)
+        return df
 
     return jax.vmap(one)(g_win, warps_t, y0, x0)
 
@@ -489,11 +497,13 @@ def _warp_batch_t_win_joint(g_wins, warps_act, y0s, x0s, h, w,
                                      y0=yy, x0=xx, s_y=s_y, s_x=s_x)
         wy, wx = jax.vmap(weights)(trs, yys, xxs)
         # pass 1 per part: dtmp[p,o,x,c] = Σ_a wx[p,o,a,x]·gm[p,o,a,c]
+        # (compute-dtype output — f32 accumulate + epilogue round, no
+        # materialized convert pass; see warp_feature_matmul)
         dtmp = jnp.einsum("poax,poac->poxc", wx, gms,
-                          preferred_element_type=jnp.float32)
-        # pass 2, parts contracted jointly with the window rows:
+                          preferred_element_type=gms.dtype)
+        # pass 2, parts contracted jointly with the window rows, f32 out:
         # df[y,x,c] = Σ_{p,o} wy[p,x,o,y]·dtmp[p,o,x,c]
-        return jnp.einsum("pxoy,poxc->yxc", wy, dtmp.astype(gms.dtype),
+        return jnp.einsum("pxoy,poxc->yxc", wy, dtmp,
                           preferred_element_type=jnp.float32)
 
     joint = jax.vmap(one)
