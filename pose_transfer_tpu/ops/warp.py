@@ -548,10 +548,13 @@ def _dus_win(x: jax.Array, win: jax.Array, y0: jax.Array,
 
 
 def _fold_scan(features, warps, masks_r, init_image_size, warp_agg,
-               static_empty=()):
+               static_empty=(), emit_idx=True):
     """Forward fold: max (with argmax index) or mean over the T transforms.
 
-    Returns (out, idx); idx is None for 'avg'. The running max keeps only
+    Returns (out, idx); idx is None for 'avg' — and for
+    ``emit_idx=False`` (the primal, no-VJP path: disc-phase generator
+    forwards and inference), which drops the argmax carry so its
+    read+write traffic is only paid when a backward will route through it. The running max keeps only
     one feature-sized accumulator live — the ×T stack never hits HBM.
 
     ``static_empty`` (config-static part indices whose masks are empty for
@@ -582,18 +585,20 @@ def _fold_scan(features, warps, masks_r, init_image_size, warp_agg,
                 warped = warped * masks_r[:, i][..., None]
             take = warped > acc  # strict: earliest t wins ties (t=0 inits)
             return (jnp.where(take, warped, acc),
-                    jnp.where(take, i.astype(jnp.int8), idx))
+                    jnp.where(take, i.astype(jnp.int8), idx)
+                    if emit_idx else None)
 
         # int8 index: T ≤ 10 always; idx is read+written every fold step and
         # re-read per t in the backward, so width is pure HBM traffic —
         # int32→int8 measured 26.6→21.3 ms for the stage-0 fwd+bwd.
         init = (jnp.full((n, h, w, c), -jnp.inf, features.dtype),
-                jnp.zeros((n, h, w, c), jnp.int8))
+                jnp.zeros((n, h, w, c), jnp.int8) if emit_idx else None)
         acc, idx = jax.lax.fori_loop(0, t_act, body, init)
         if t_act != t:
             take0 = acc < 0
             acc = jnp.where(take0, jnp.zeros((), acc.dtype), acc)
-            idx = jnp.where(take0, jnp.int8(-1), idx)
+            if emit_idx:
+                idx = jnp.where(take0, jnp.int8(-1), idx)
         return acc, idx
 
     def body(i, acc):
@@ -608,7 +613,7 @@ def _fold_scan(features, warps, masks_r, init_image_size, warp_agg,
 
 
 def _fold_windowed(features, warps, masks_r, init_image_size, warp_agg,
-                   windows, static_empty=()):
+                   windows, static_empty=(), emit_idx=True):
     """Windowed fold: part 0 (body, all-ones mask) at full resolution,
     parts 1.. restricted to their (h/2, w/2) mask-support windows.
 
@@ -632,7 +637,7 @@ def _fold_windowed(features, warps, masks_r, init_image_size, warp_agg,
 
     if warp_agg == "max":
         acc = jnp.full((n, h, w, c), -jnp.inf, features.dtype)
-        idx = jnp.zeros((n, h, w, c), jnp.int8)
+        idx = jnp.zeros((n, h, w, c), jnp.int8) if emit_idx else None
         # does SOME non-body part contribute an exact zero at this pixel?
         # A part's contribution is zero exactly where its RESIZED mask is
         # zero (outside its support window the mask is zero by
@@ -655,22 +660,25 @@ def _fold_windowed(features, warps, masks_r, init_image_size, warp_agg,
                 warped = warped * masks_r[:, 0][..., None]
                 take = warped > acc
                 acc = jnp.where(take, warped, acc)
-                idx = jnp.where(take, jnp.int8(0), idx)
+                if emit_idx:
+                    idx = jnp.where(take, jnp.int8(0), idx)
                 continue
             win = _warp_batch_win(features, warps[:, i], y0[:, i], x0[:, i],
                                   s_y, s_x, init_image_size)
             mwin = _slice_win(masks_r[:, i], y0[:, i], x0[:, i], s_y, s_x)
             win = win * mwin[..., None]
             acc_win = _slice_win(acc, y0[:, i], x0[:, i], s_y, s_x)
-            idx_win = _slice_win(idx, y0[:, i], x0[:, i], s_y, s_x)
             take = win > acc_win
             acc = _dus_win(acc, jnp.where(take, win, acc_win),
                            y0[:, i], x0[:, i])
-            idx = _dus_win(idx, jnp.where(take, jnp.int8(i), idx_win),
-                           y0[:, i], x0[:, i])
+            if emit_idx:
+                idx_win = _slice_win(idx, y0[:, i], x0[:, i], s_y, s_x)
+                idx = _dus_win(idx, jnp.where(take, jnp.int8(i), idx_win),
+                               y0[:, i], x0[:, i])
         take0 = zero_exists & (acc < 0)
         acc = jnp.where(take0, jnp.zeros((), acc.dtype), acc)
-        idx = jnp.where(take0, jnp.int8(-1), idx)
+        if emit_idx:
+            idx = jnp.where(take0, jnp.int8(-1), idx)
         return acc, idx
 
     acc = jnp.zeros((n, h, w, c), jnp.float32)
@@ -859,7 +867,7 @@ def _map_chunked(fn, n_chunk, arrays):
 
 
 def _fold_windowed_place(features, warps, masks_r, init_image_size,
-                         windows, static_empty=()):
+                         windows, static_empty=(), emit_idx=True):
     """Kernel-placed windowed max fold: XLA computes the body warp and the
     windowed part warps (batched einsums); the Pallas placement kernel
     does the per-sample window placement + mask multiply + max/argmax
@@ -884,14 +892,15 @@ def _fold_windowed_place(features, warps, masks_r, init_image_size,
         return _map_chunked(
             lambda a: _fold_windowed_place_impl(
                 a[0], a[1], a[2], init_image_size, (a[3], a[4]),
-                static_empty),
+                static_empty, emit_idx),
             nc, (features, warps, masks_r, y0, x0))
     return _fold_windowed_place_impl(features, warps, masks_r,
-                                     init_image_size, (y0, x0), static_empty)
+                                     init_image_size, (y0, x0), static_empty,
+                                     emit_idx)
 
 
 def _fold_windowed_place_impl(features, warps, masks_r, init_image_size,
-                              windows, static_empty=()):
+                              windows, static_empty=(), emit_idx=True):
     from . import warp_fused
 
     n, h, w, c = features.shape
@@ -918,7 +927,7 @@ def _fold_windowed_place_impl(features, warps, masks_r, init_image_size,
 
     interpret = jax.default_backend() != "tpu"
     out, idx = warp_fused.fold_place(body, wins, mwins, zero_nb, offs,
-                                     interpret)
+                                     interpret, emit_idx)
     return out, idx
 
 
@@ -1058,13 +1067,19 @@ def warp_fold_matmul(features: jax.Array, warps: jax.Array,
     The kernel path stores the argmax as bf16 instead of int8 (Mosaic
     scalarizes int8 selects), including in its full-fold fallback branch.
     """
+    # primal path (no VJP will consume residuals): skip the argmax-index
+    # bookkeeping entirely — it exists only to route the backward. This is
+    # the path the disc-phase generator forwards (their output is
+    # stop_gradient'ed: 2 of the 3 gen forwards per train iteration) and
+    # all inference/eval/serving take; under jax.grad the registered
+    # ``_fold_fwd`` (emit_idx=True) runs instead.
     out, _ = _fold_fwd(features, warps, masks_r, init_image_size, warp_agg,
-                       windowed, static_empty, place_impl)
+                       windowed, static_empty, place_impl, emit_idx=False)
     return out
 
 
 def _fold_fwd(features, warps, masks_r, init_image_size, warp_agg, windowed,
-              static_empty=(), place_impl="xla"):
+              static_empty=(), place_impl="xla", emit_idx=True):
     n, h, w, c = features.shape
     t = warps.shape[1]
     use_kernel = _use_place_kernel(place_impl, h, w, c, t, warp_agg,
@@ -1078,13 +1093,13 @@ def _fold_fwd(features, warps, masks_r, init_image_size, warp_agg, windowed,
         windows = _fold_windows(masks_r, h, w, windowed)
     if windows is None:
         out, idx = _fold_scan(features, warps, masks_r, init_image_size,
-                              warp_agg, static_empty)
+                              warp_agg, static_empty, emit_idx)
         return out, (warps, masks_r, idx, None)
     all_fit = jnp.all(windows[2][:, 1:])  # body runs full in both branches
 
     def scan_branch(_):
         out, idx = _fold_scan(features, warps, masks_r, init_image_size,
-                              warp_agg, static_empty)
+                              warp_agg, static_empty, emit_idx)
         # the cond's branches must agree on the idx dtype; the kernel
         # branch uses bf16 (see warp_fold_matmul docstring)
         if use_kernel and idx is not None:
@@ -1093,11 +1108,12 @@ def _fold_fwd(features, warps, masks_r, init_image_size, warp_agg, windowed,
 
     if use_kernel:
         win_branch = lambda _: _fold_windowed_place(  # noqa: E731
-            features, warps, masks_r, init_image_size, windows, static_empty)
+            features, warps, masks_r, init_image_size, windows, static_empty,
+            emit_idx)
     else:
         win_branch = lambda _: _fold_windowed(  # noqa: E731
             features, warps, masks_r, init_image_size, warp_agg, windows,
-            static_empty)
+            static_empty, emit_idx)
     out, idx = jax.lax.cond(all_fit, win_branch, scan_branch, None)
     return out, (warps, masks_r, idx, windows)
 

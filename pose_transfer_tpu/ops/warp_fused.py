@@ -78,8 +78,8 @@ def _vmem_params():
     return pltpu.CompilerParams(vmem_limit_bytes=127 * 1024 * 1024)
 
 
-def _place_kernel(rch, offs_ref, zero_ref, body_ref, wins_ref, mwins_ref,
-                  out_ref, idx_ref):
+def _place_kernel(rch, emit_idx, offs_ref, zero_ref, body_ref, wins_ref,
+                  mwins_ref, out_ref, *rest):
     """One (sample, part) cell: strict-> max-update of the part's window.
 
     offs_ref: (1, P, 3) SMEM int32 [y0, x0, part_index] per part
@@ -92,9 +92,14 @@ def _place_kernel(rch, offs_ref, zero_ref, body_ref, wins_ref, mwins_ref,
     wins_ref: (1, 1, SY, SX, C) this part's UNMASKED windowed warp; the
     mask window (mwins_ref, (1, 1, SY, SX)) multiplies in VMEM — the
     pre-masked wins stack never round-trips HBM for the multiply.
-    out_ref/idx_ref: (1, H, W, C) running max / bf16 argmax — resident in
-    VMEM across the part dimension (innermost grid dim, constant index map).
+    out_ref (+ idx_ref when ``emit_idx``): (1, H, W, C) running max /
+    bf16 argmax — resident in VMEM across the part dimension (innermost
+    grid dim, constant index map). ``emit_idx=False`` (the primal path:
+    disc-phase generator forwards, inference) drops the argmax buffer
+    entirely — its init, per-chunk select traffic, and full-res HBM
+    writeback are only paid when a VJP will consume it.
     """
+    idx_ref = rest[0] if emit_idx else None
     p = pl.program_id(1)
     sy, sx = wins_ref.shape[2], wins_ref.shape[3]
     w, c = out_ref.shape[2], out_ref.shape[3]
@@ -102,7 +107,8 @@ def _place_kernel(rch, offs_ref, zero_ref, body_ref, wins_ref, mwins_ref,
     @pl.when(p == 0)
     def _():
         out_ref[...] = body_ref[...]
-        idx_ref[...] = jnp.zeros(idx_ref.shape, idx_ref.dtype)
+        if emit_idx:
+            idx_ref[...] = jnp.zeros(idx_ref.shape, idx_ref.dtype)
 
     y0 = offs_ref[0, p, 0]
     x0 = pl.multiple_of(offs_ref[0, p, 1], X_ALIGN)
@@ -123,9 +129,10 @@ def _place_kernel(rch, offs_ref, zero_ref, body_ref, wins_ref, mwins_ref,
         take = z.astype(jnp.float32) > cur.astype(jnp.float32)
         out_ref[0, pl.ds(r0, rch), pl.ds(x0, sx), :] = \
             jnp.where(take, z, cur)
-        curi = idx_ref[0, pl.ds(r0, rch), pl.ds(x0, sx), :]
-        idx_ref[0, pl.ds(r0, rch), pl.ds(x0, sx), :] = \
-            jnp.where(take, jnp.broadcast_to(pv, (rch, sx, c)), curi)
+        if emit_idx:
+            curi = idx_ref[0, pl.ds(r0, rch), pl.ds(x0, sx), :]
+            idx_ref[0, pl.ds(r0, rch), pl.ds(x0, sx), :] = \
+                jnp.where(take, jnp.broadcast_to(pv, (rch, sx, c)), curi)
         return 0
 
     jax.lax.fori_loop(0, sy // rch, chunk, 0)
@@ -144,13 +151,15 @@ def _place_kernel(rch, offs_ref, zero_ref, body_ref, wins_ref, mwins_ref,
         out = out_ref[...]
         take0 = (zero > 0.0) & (out.astype(jnp.float32) < 0.0)
         out_ref[...] = jnp.where(take0, jnp.zeros((), out.dtype), out)
-        idx = idx_ref[...]
-        idx_ref[...] = jnp.where(take0, jnp.asarray(-1.0, idx.dtype), idx)
+        if emit_idx:
+            idx = idx_ref[...]
+            idx_ref[...] = jnp.where(take0, jnp.asarray(-1.0, idx.dtype),
+                                     idx)
 
 
 def fold_place(body: jax.Array, wins: jax.Array, mwins: jax.Array,
                zero_nb: jax.Array, offs: jax.Array,
-               interpret: bool = False):
+               interpret: bool = False, emit_idx: bool = True):
     """Window-placement max fold (mask multiply + zero pass fused in).
 
     Args:
@@ -162,17 +171,23 @@ def fold_place(body: jax.Array, wins: jax.Array, mwins: jax.Array,
       offs: (N, P, 3) int32 [y0, x0, part_index] per part; x0
         X_ALIGN-aligned, in-bounds (``_support_windows`` guarantees both),
         part_index = original part number stored into the argmax.
+      emit_idx: emit the argmax output. False on the primal (no-VJP) path
+        — XLA cannot dead-code a custom call's unused output, so the
+        no-grad forward gets a kernel without the buffer at all.
 
     Returns:
       out: (N, H, W, C) max-fold, zero pass applied; idx: (N, H, W, C)
-        bf16 argmax part index (-1 where zero won).
+        bf16 argmax part index (-1 where zero won), or None when
+        ``emit_idx`` is False.
     """
     n, h, w, c = body.shape
     p = wins.shape[1]
     sy, sx = wins.shape[2], wins.shape[3]
 
-    return pl.pallas_call(
-        functools.partial(_place_kernel, _rch(sy)),
+    out_block = pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    res = pl.pallas_call(
+        functools.partial(_place_kernel, _rch(sy), emit_idx),
         grid=(n, p),
         in_specs=[
             pl.BlockSpec((1, p, 3), lambda i, j: (i, 0, 0),
@@ -186,19 +201,15 @@ def fold_place(body: jax.Array, wins: jax.Array, mwins: jax.Array,
             pl.BlockSpec((1, 1, sy, sx), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=[out_block, out_block] if emit_idx else [out_block],
         out_shape=[
             jax.ShapeDtypeStruct((n, h, w, c), body.dtype),
-            jax.ShapeDtypeStruct((n, h, w, c), jnp.bfloat16),
-        ],
+        ] + ([jax.ShapeDtypeStruct((n, h, w, c), jnp.bfloat16)]
+             if emit_idx else []),
         compiler_params=_vmem_params(),
         interpret=interpret,
     )(offs, zero_nb, body, wins, mwins)
+    return res if emit_idx else (res[0], None)
 
 
 def _route_kernel(rch, offs_ref, g_ref, idx_ref, mask0_ref, mwins_ref,

@@ -161,3 +161,28 @@ def test_batch_chunked_placement_matches(monkeypatch):
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(vjp_c(g)[0]), np.asarray(df_ref),
                                atol=2e-5)
+
+
+@pytest.mark.parametrize("place", ["xla", "kernel"])
+@pytest.mark.parametrize("fit", [True, False])
+def test_primal_no_idx_matches_vjp_forward(place, fit):
+    """The primal (no-AD) fold skips argmax emission (emit_idx=False —
+    the disc-phase/inference path); its output must equal the VJP
+    forward's bitwise, windowed-or-not, on both placement impls."""
+    f, warps, masks, g = _inputs(fit)
+    fold = lambda x: warp_fold_matmul(  # noqa: E731
+        x, warps, masks, IMG, "max", True, (), place)
+    out_primal = fold(f)                  # primal: emit_idx=False
+    out_ad, _ = jax.vjp(fold, f)          # AD fwd: emit_idx=True
+    np.testing.assert_array_equal(np.asarray(out_primal),
+                                  np.asarray(out_ad))
+
+
+def test_primal_no_idx_matches_full_fold_and_static_empty():
+    f, warps, masks, g = _inputs(fit=True)
+    for kwargs in (dict(), dict(static_empty=(3,))):
+        se = kwargs.get("static_empty", ())
+        fold = lambda x: warp_fold_matmul(  # noqa: E731
+            x, warps, masks, IMG, "max", False, se)
+        np.testing.assert_array_equal(
+            np.asarray(fold(f)), np.asarray(jax.vjp(fold, f)[0]))
