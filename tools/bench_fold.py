@@ -1,0 +1,141 @@
+"""Isolated warp-fold microbenchmark.
+
+Times ``affine_transform_layer`` (the reference's AffineTransformLayer,
+pose_transform.py:60-92) at one generator skip stage, outside the full
+train step, so fold-variant A/B runs take seconds instead of re-timing the
+whole GAN step. Variants: full vs mask-windowed fold, XLA vs Pallas-kernel
+placement, forward-only (the no-grad ``emit_idx=False`` path) vs
+forward+backward (the custom VJP).
+
+Usage (real TPU; honors the platform timing rules in CLAUDE.md — ≥5
+warm-up calls, scalar host fetch data-dependent on the output):
+
+    python tools/bench_fold.py --batch 32 --stage 0 --mode grad \
+        --variant kernel --iters 20
+
+Prints one JSON line per requested variant with ms/call.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _stage_shape(image_size, stage):
+    from pose_transfer_tpu.models.networks import encoder_filters_for
+    enc = encoder_filters_for(image_size)
+    h = image_size[0] if stage == 0 else image_size[0] // (2 ** stage)
+    w = image_size[1] if stage == 0 else image_size[1] // (2 ** stage)
+    return h, w, enc[stage]
+
+
+def _fold_inputs(batch, image_size, pose_dim, stage, dtype, seed=0):
+    """Realistic fold inputs: warps/masks from the synthetic skeleton
+    sampler (same geometry distribution the train step sees), random
+    features at the requested encoder stage's shape."""
+    import jax
+    import jax.numpy as jnp
+
+    from pose_transfer_tpu.data.device import masks_from_polys
+    from pose_transfer_tpu.data.synthetic import synthetic_compact_batch
+
+    rng = np.random.default_rng(seed)
+    raw = synthetic_compact_batch(rng, batch, image_size, pose_dim,
+                                  warp_skip="mask")
+    h, w, c = _stage_shape(image_size, stage)
+    feats = jnp.asarray(rng.standard_normal((batch, h, w, c)), dtype)
+    warps = jnp.asarray(raw["warps"])
+    masks = masks_from_polys(jnp.asarray(raw["mask_polys"]),
+                             jnp.asarray(raw["mask_kinds"]), image_size)
+    return jax.device_put((feats, warps, masks.astype(dtype)))
+
+
+def _time_fn(fn, args, iters, warmup):
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args)
+    # data-dependent scalar fetch: block_until_ready alone under-reports
+    # through the axon tunnel (CLAUDE.md platform rule #2)
+    float(jax.numpy.asarray(out).astype("float32").ravel()[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    float(jax.numpy.asarray(out).astype("float32").ravel()[0])
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--image_size", type=int, default=256)
+    ap.add_argument("--pose_dim", type=int, default=18)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--stage", type=int, default=0,
+                    help="encoder skip stage (0 = full resolution)")
+    ap.add_argument("--mode", choices=("fwd", "grad"), default="grad")
+    ap.add_argument("--variant", default="kernel",
+                    help="comma list of: full, xla, kernel")
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon sitecustomize "
+                         "overrides a shell-level JAX_PLATFORMS=cpu)")
+    args = ap.parse_args()
+    if args.cpu:
+        # the TPU plugin forces jax_platforms programmatically at
+        # interpreter start; the env var alone is not enough (conftest.py)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from pose_transfer_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from pose_transfer_tpu.core.transforms_host import static_empty_parts
+    from pose_transfer_tpu.ops.warp import affine_transform_layer
+
+    image_size = (args.image_size, args.image_size)
+    dtype = jnp.dtype(args.dtype)
+    feats, warps, masks = _fold_inputs(args.batch, image_size,
+                                       args.pose_dim, args.stage, dtype)
+    static_empty = static_empty_parts(args.pose_dim)
+
+    for variant in args.variant.split(","):
+        windowed = variant != "full"
+        place = {"full": "auto", "xla": "xla", "kernel": "kernel"}[variant]
+
+        def fold(f, wp, mk):
+            return affine_transform_layer(
+                f, wp, mk, image_size, "mask", "max", backend="matmul",
+                windowed=windowed, static_empty=static_empty,
+                place_impl=place)
+
+        if args.mode == "fwd":
+            fn = jax.jit(lambda f, wp, mk: fold(f, wp, mk).sum())
+        else:
+            # fwd+bwd wrt features — what the gen-phase fold costs
+            fn = jax.jit(jax.grad(lambda f, wp, mk: fold(f, wp, mk).sum()))
+        ms = _time_fn(fn, (feats, warps, masks), args.iters, args.warmup)
+        h, w, c = _stage_shape(image_size, args.stage)
+        print(json.dumps({
+            "variant": variant, "mode": args.mode, "ms_per_call": round(ms, 3),
+            "batch": args.batch, "stage": args.stage,
+            "shape": [h, w, c], "dtype": str(dtype),
+            "backend": jax.default_backend(),
+        }))
+
+
+if __name__ == "__main__":
+    main()
