@@ -79,6 +79,20 @@ def _make_config(dataset: str, mode: str, batch: int | None = None):
                      warp_place=os.environ.get("BENCH_PLACE", "auto"))
 
 
+def _step_flops(step, *args) -> float | None:
+    """XLA's own FLOP count for the compiled step (executed FLOPs — the
+    fold's dense banded contractions count at face value). None when the
+    backend doesn't report it."""
+    try:
+        ca = step.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):  # older jax: per-device list
+            ca = ca[0]
+        flops = float(ca["flops"])
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
+
 def _bench_train(config, iters: int) -> float:
     import jax
 
@@ -96,6 +110,10 @@ def _bench_train(config, iters: int) -> float:
     real = jax.device_put({k: v[None] for k, v in mk().items()})
     gen_batch = jax.device_put(mk())
 
+    # before the first call: the state is donated, so its buffers are gone
+    # once the step runs
+    flops = _step_flops(step, state, fake, real, gen_batch)
+
     # warmup / compile (block on the full state: on some platforms blocking
     # on one output does not force the whole donated-state chain)
     state, metrics, _ = step(state, fake, real, gen_batch)
@@ -110,7 +128,7 @@ def _bench_train(config, iters: int) -> float:
     dt = time.perf_counter() - t0
 
     images_per_step = config.batch_size * (2 * config.training_ratio + 1)
-    return iters * images_per_step / dt
+    return iters * images_per_step / dt, flops, dt / iters
 
 
 def _bench_infer(config, iters: int) -> float:
@@ -126,6 +144,7 @@ def _bench_infer(config, iters: int) -> float:
     raw = jax.device_put(synthetic_compact_batch(
         rng, config.batch_size, config.image_size, config.pose_dim,
         warp_skip=config.warp_skip))
+    flops = _step_flops(jax.jit(eval_step), state.gen_params, raw)
     out, _ = eval_step(state.gen_params, raw)
     jax.block_until_ready(out)
     float(out.astype("float32").sum())  # force through the tunnel
@@ -135,7 +154,22 @@ def _bench_infer(config, iters: int) -> float:
         out, _ = eval_step(state.gen_params, raw)
     float(out.astype("float32").sum())
     dt = time.perf_counter() - t0
-    return iters * config.batch_size / dt
+    return iters * config.batch_size / dt, flops, dt / iters
+
+
+def _mfu_fields(flops: float | None, sec_per_step: float) -> dict:
+    """Achieved TFLOP/s and MFU from XLA's executed-FLOP count. Peak is
+    the chip's bf16 matmul peak (v5e default; override BENCH_PEAK_TFLOPS
+    on other generations). Executed FLOPs — the banded warp contractions
+    count at face value, so this is the utilization of what actually runs,
+    an upper bound on 'useful-FLOP' MFU."""
+    if not flops:
+        return {}
+    peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
+    achieved = flops / sec_per_step / 1e12
+    return {"tflops_per_step": round(flops / 1e12, 3),
+            "achieved_tflops": round(achieved, 1),
+            "mfu_vs_peak": round(achieved / peak, 3)}
 
 
 def main() -> None:
@@ -158,7 +192,7 @@ def main() -> None:
 
     run = _bench_train if mode == "train" else _bench_infer
     config = _make_config(dataset, mode, batch)
-    ips = run(config, iters)
+    ips, flops, sec_per_step = run(config, iters)
 
     prev = None
     if os.path.exists("BENCH_PREV.json"):
@@ -176,14 +210,16 @@ def main() -> None:
         "vs_baseline": round(ips / prev, 3) if prev else 1.0,
         "batch": config.batch_size,
     }
+    record.update(_mfu_fields(flops, sec_per_step))
     if secondary:
         h_cfg = _make_config("h36m", mode)
-        h_ips = run(h_cfg, iters)
+        h_ips, h_flops, h_sec = run(h_cfg, iters)
         record["h36m"] = {
             "metric": "train_images_per_sec_per_chip_full_deformable_h36m224",
             "value": round(h_ips, 2),
             "unit": "images/sec/chip",
             "batch": h_cfg.batch_size,
+            **_mfu_fields(h_flops, h_sec),
         }
     print(json.dumps(record))
 
