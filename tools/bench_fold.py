@@ -73,6 +73,63 @@ def _time_fn(fn, args, iters, warmup):
     return (time.perf_counter() - t0) / iters * 1e3
 
 
+def _bench_ramp(args, image_size, dtype, feats, warps, masks):
+    """Isolate the banded-weight (ramp) build cost of the windowed joint
+    einsums: times (a) the production path (ramps built in-graph, fused
+    into the dots by XLA), (b) the same dots fed PRECOMPUTED weight
+    tensors (pure-MXU floor + weight HBM reads), (c) the weight build
+    alone. (a) − (b) ≈ what the fused VPU ramp generation stalls the MXU;
+    if (b) ≫ (c)+dots the weights are materializing instead of fusing."""
+    import jax
+    import jax.numpy as jnp
+
+    from pose_transfer_tpu.ops import warp as W
+    from pose_transfer_tpu.ops.warp_fused import X_ALIGN
+
+    h, w, c = feats.shape[1:]
+    s_y, s_x = W._kernel_window_sizes(h, w)
+    masks_r = W.resize_bilinear(masks.astype(feats.dtype), (h, w))
+    y0, x0, _, _ = jax.jit(lambda m: W._support_windows(m, s_y, s_x,
+                                                        X_ALIGN))(masks_r)
+    t = warps.shape[1]
+    sel = list(range(1, t))
+    wp, yy, xx = warps[:, sel], y0[:, sel], x0[:, sel]
+
+    fused = jax.jit(lambda f, wpp, yyy, xxx: W._warp_batch_win_joint(
+        f, wpp, yyy, xxx, s_y, s_x, image_size).sum())
+    ms_fused = _time_fn(fused, (feats, wp, yy, xx), args.iters, args.warmup)
+
+    def weights_all(wpp, yyy, xxx):
+        def one(tr, yv, xv):
+            return W._two_pass_weights(tr, h, w, image_size, dtype,
+                                       y0=yv, x0=xv, s_y=s_y, s_x=s_x)
+        return jax.vmap(jax.vmap(one))(wpp, yyy, xxx)
+
+    jw = jax.jit(weights_all)
+    wy, wx = jax.block_until_ready(jw(wp, yy, xx))
+    ms_weights = _time_fn(lambda *a: jw(*a)[0], (wp, yy, xx),
+                          args.iters, args.warmup)
+
+    def dots(wyv, wxv, f):
+        tmp = jnp.einsum("npxoy,nyxc->npoxc", wyv, f,
+                         preferred_element_type=f.dtype)
+        return jnp.einsum("npoax,npoxc->npoac", wxv, tmp,
+                          preferred_element_type=f.dtype).sum()
+
+    ms_dots = _time_fn(jax.jit(dots), (wy, wx, feats),
+                       args.iters, args.warmup)
+    gb = (wy.size + wx.size) * wy.dtype.itemsize / 2**30
+    print(json.dumps({
+        "experiment": "ramp", "batch": int(feats.shape[0]),
+        "shape": [int(h), int(w), int(c)], "window": [s_y, s_x],
+        "ms_fused": round(ms_fused, 3),
+        "ms_dots_precomputed_weights": round(ms_dots, 3),
+        "ms_weight_build": round(ms_weights, 3),
+        "weights_gb": round(gb, 3),
+        "backend": jax.default_backend(),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--image_size", type=int, default=256)
@@ -86,6 +143,9 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--experiment", default=None, choices=(None, "ramp"),
+                    help="'ramp': isolate the weight-build cost of the "
+                         "windowed joint einsums instead of timing folds")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon sitecustomize "
                          "overrides a shell-level JAX_PLATFORMS=cpu)")
@@ -110,6 +170,9 @@ def main():
     dtype = jnp.dtype(args.dtype)
     feats, warps, masks = _fold_inputs(args.batch, image_size,
                                        args.pose_dim, args.stage, dtype)
+    if args.experiment == "ramp":
+        _bench_ramp(args, image_size, dtype, feats, warps, masks)
+        return
     static_empty = static_empty_parts(args.pose_dim)
 
     for variant in args.variant.split(","):
