@@ -10,13 +10,15 @@ measurement of the reference would give.
 
 A default (driver) run also times the h36m configuration (224², pose_dim
 16 — the reference's second dataset, src_deformable/commands:19-24) and
-embeds it as an ``"h36m"`` field of the same JSON line, so both headline
-numbers are recorded round-over-round. Any ``BENCH_*`` override (an A/B
-run) skips the secondary measurement.
+generator inference (the serving path), embedding them as ``"h36m"`` /
+``"infer"`` fields of the same JSON line, so all three headline numbers
+are recorded round-over-round. Any ``BENCH_*`` override (an A/B run)
+skips the secondary measurements.
 
 The reference records no throughput numbers anywhere (BASELINE.md), so
 ``vs_baseline`` is reported against the previous round's own measurement
-(``BENCH_PREV.json`` if present, else 1.0).
+(``BENCH_PREV.json`` — rolled forward each round — matched by metric
+name; 1.0 when no same-metric prior exists).
 
 Prints exactly one JSON line.
 """
@@ -71,12 +73,22 @@ def _make_config(dataset: str, mode: str, batch: int | None = None):
         batch = spec["train_batch"] if mode == "train" else 8
     ww = os.environ.get("BENCH_WINDOWED", "auto")
     windowed = None if ww == "auto" else ww != "0"
+    # BENCH_CONTENT=block1_conv2 times the FULL flagship recipe (VGG
+    # content loss + nn_loss area 5 + l1_w 1.0 — src_deformable/commands:9)
+    # instead of the default L1 deformable config; an A/B override like
+    # BENCH_BATCH (skips the secondary measurements).
+    content = os.environ.get("BENCH_CONTENT", "none")
+    extra = {}
+    if content != "none":
+        extra = dict(content_loss_layer=content, nn_loss_area_size=5,
+                     l1_penalty_weight=1.0)
     return GANConfig(image_size=spec["image_size"],
                      pose_dim=spec["pose_dim"], batch_size=batch,
                      warp_skip="mask", gen_type="baseline",
                      training_ratio=1, compute_dtype=jnp.bfloat16,
                      warp_windowed=windowed,
-                     warp_place=os.environ.get("BENCH_PLACE", "auto"))
+                     warp_place=os.environ.get("BENCH_PLACE", "auto"),
+                     **extra)
 
 
 def _step_flops(step, *args) -> float | None:
@@ -93,7 +105,7 @@ def _step_flops(step, *args) -> float | None:
         return None
 
 
-def _bench_train(config, iters: int) -> float:
+def _bench_train(config, iters: int) -> tuple[float, float | None, float]:
     import jax
 
     from pose_transfer_tpu.data.synthetic import synthetic_compact_batch
@@ -131,7 +143,7 @@ def _bench_train(config, iters: int) -> float:
     return iters * images_per_step / dt, flops, dt / iters
 
 
-def _bench_infer(config, iters: int) -> float:
+def _bench_infer(config, iters: int) -> tuple[float, float | None, float]:
     """BENCH_MODE=infer: generator-forward serving throughput."""
     import jax
 
@@ -155,6 +167,21 @@ def _bench_infer(config, iters: int) -> float:
     float(out.astype("float32").sum())
     dt = time.perf_counter() - t0
     return iters * config.batch_size / dt, flops, dt / iters
+
+
+def _vs(metric: str, value: float, rec: dict) -> float:
+    """Round-over-round ratio — only against a prev record of the SAME
+    metric (an A/B infer or h36m run must not divide by the fashion
+    train baseline). The prev record's secondary sub-records ("h36m",
+    "infer") are searched too."""
+    if rec.get("metric") == metric and rec.get("value"):
+        return round(value / rec["value"], 3)
+    for sub in ("h36m", "infer"):
+        s = rec.get(sub)
+        if isinstance(s, dict) and s.get("metric") == metric \
+                and s.get("value"):
+            return round(value / s["value"], 3)
+    return 1.0
 
 
 def _mfu_fields(flops: float | None, sec_per_step: float) -> dict:
@@ -184,42 +211,58 @@ def main() -> None:
     batch = int(batch) if batch else None
     iters = int(os.environ.get("BENCH_ITERS",
                                "20" if mode == "train" else "30"))
-    # a pure driver run (no overrides) also records the h36m number
+    # a pure driver run (no overrides) also records the h36m + infer numbers
     secondary = (mode == "train" and dataset == "fashion"
                  and not any(os.environ.get(k) for k in
                              ("BENCH_BATCH", "BENCH_WINDOWED",
-                              "BENCH_PLACE", "BENCH_DATASET")))
+                              "BENCH_PLACE", "BENCH_DATASET",
+                              "BENCH_CONTENT")))
 
     run = _bench_train if mode == "train" else _bench_infer
     config = _make_config(dataset, mode, batch)
     ips, flops, sec_per_step = run(config, iters)
 
-    prev = None
+    prev = {}
     if os.path.exists("BENCH_PREV.json"):
         try:
             with open("BENCH_PREV.json") as f:
-                prev = json.load(f).get("value")
+                prev = json.load(f)
         except Exception:
-            prev = None
+            prev = {}
 
     tag = "fashion256" if dataset == "fashion" else "h36m224"
+    metric = f"{mode}_images_per_sec_per_chip_full_deformable_{tag}"
     record = {
-        "metric": f"{mode}_images_per_sec_per_chip_full_deformable_{tag}",
+        "metric": metric,
         "value": round(ips, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(ips / prev, 3) if prev else 1.0,
+        "vs_baseline": _vs(metric, ips, prev),
         "batch": config.batch_size,
     }
     record.update(_mfu_fields(flops, sec_per_step))
     if secondary:
-        h_cfg = _make_config("h36m", mode)
-        h_ips, h_flops, h_sec = run(h_cfg, iters)
+        h_cfg = _make_config("h36m", "train")
+        h_ips, h_flops, h_sec = _bench_train(h_cfg, iters)
+        h_metric = "train_images_per_sec_per_chip_full_deformable_h36m224"
         record["h36m"] = {
-            "metric": "train_images_per_sec_per_chip_full_deformable_h36m224",
+            "metric": h_metric,
             "value": round(h_ips, 2),
             "unit": "images/sec/chip",
+            "vs_baseline": _vs(h_metric, h_ips, prev),
             "batch": h_cfg.batch_size,
             **_mfu_fields(h_flops, h_sec),
+        }
+        i_cfg = _make_config("fashion", "infer")
+        i_ips, i_flops, i_sec = _bench_infer(
+            i_cfg, int(os.environ.get("BENCH_ITERS", "30")))
+        i_metric = "infer_images_per_sec_per_chip_full_deformable_fashion256"
+        record["infer"] = {
+            "metric": i_metric,
+            "value": round(i_ips, 2),
+            "unit": "images/sec/chip",
+            "vs_baseline": _vs(i_metric, i_ips, prev),
+            "batch": i_cfg.batch_size,
+            **_mfu_fields(i_flops, i_sec),
         }
     print(json.dumps(record))
 

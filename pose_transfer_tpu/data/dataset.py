@@ -74,6 +74,12 @@ class PoseTransferDataset:
         self.images_dir_test = opt["images_dir_test"]
 
         def read_pairs(which: str) -> pd.DataFrame:
+            if opt.get("checkMode", 0):
+                # checkMode reads the seeded 4000-pair -check CSVs for both
+                # the plain and interpol roles, exactly like the reference
+                # (PoseTransfer_Dataset.py:147-159) — create_pairs
+                # --checkMode writes only those files (data/pairs.py).
+                return pd.read_csv(opt[f"pairs_file_{which}_check"])
             interpol = opt[f"pairs_file_{which}_interpol"]
             plain = opt[f"pairs_file_{which}"]
             path = interpol if os.path.exists(interpol) else plain

@@ -155,7 +155,7 @@ def write_synthetic_dataset(data_dir: str, dataset: str = "fasion",
 
       <data_dir>/<dataset>-dataset/{train,test}/  (JPEG images)
       <data_dir>/<dataset>-annotation-{train,test}.csv   (sep=':')
-      <data_dir>/<dataset>-pairs-{train,test}.csv (+ -interpol twins)
+      <data_dir>/<dataset>-pairs-{train,test}.csv (+ -interpol/-check twins)
     """
     from PIL import Image
 
@@ -181,7 +181,10 @@ def write_synthetic_dataset(data_dir: str, dataset: str = "fasion",
                                 f"{dataset}-annotation-{split}.csv"),
                    sep=":", index=False)
         pairs = build_pairs(ann, pose_dim)
-        for suffix in ("", "-interpol"):
+        # -check twins too: checkMode datasets hard-read them (reference
+        # parity, PoseTransfer_Dataset.py:147-159) and the CLI tests train
+        # under --checkMode 1
+        for suffix in ("", "-interpol", "-check"):
             pairs.to_csv(os.path.join(
                 data_dir, f"{dataset}-pairs-{split}{suffix}.csv"),
                 index=False)

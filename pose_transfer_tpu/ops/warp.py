@@ -841,7 +841,15 @@ def _place_batch_chunk(n, h, w, c, p, itemsize) -> int:
     bounds peak residency with ZERO extra compute or traffic — each
     sample's fold is independent. ``PT_WARP_PLACE_CHUNK_MB`` overrides the
     per-call stack budget (default 3072 MB ≈ the measured b48 high-water
-    mark, so batches ≤ 48 keep the single-call plan unchanged).
+    mark, so batches ≤ 48 keep the single-call plan unchanged). NOTE: the
+    env var is read at TRACE time — changing it after a shape's first
+    compile in a process has no effect (and the persistent XLA cache keys
+    only on the traced HLO, which embeds the resulting chunking).
+
+    A batch that is not a multiple of the chunk runs the remainder as one
+    extra smaller call (``_fold_windowed_place``) rather than shrinking
+    the chunk to a divisor — a prime batch must not degrade to 1-sample
+    chunks.
     """
     import os
     s_y, s_x = _kernel_window_sizes(h, w)
@@ -849,10 +857,7 @@ def _place_batch_chunk(n, h, w, c, p, itemsize) -> int:
     per_sample = p * s_y * (w + s_x) * c * itemsize
     if n * per_sample <= cap * 2**20:
         return n
-    nc = max(1, (cap * 2**20) // per_sample)
-    while n % nc:
-        nc -= 1
-    return nc
+    return max(1, min(n, (cap * 2**20) // per_sample))
 
 
 def _map_chunked(fn, n_chunk, arrays):
@@ -889,11 +894,23 @@ def _fold_windowed_place(features, warps, masks_r, init_image_size,
     p = len(_place_actives(t, static_empty))
     nc = _place_batch_chunk(n, h, w, c, p, features.dtype.itemsize)
     if nc < n:
-        return _map_chunked(
+        arrays = (features, warps, masks_r, y0, x0)
+        k, rem = divmod(n, nc)
+        body = _map_chunked(
             lambda a: _fold_windowed_place_impl(
                 a[0], a[1], a[2], init_image_size, (a[3], a[4]),
                 static_empty, emit_idx),
-            nc, (features, warps, masks_r, y0, x0))
+            nc, tuple(a[:k * nc] for a in arrays))
+        if not rem:
+            return body
+        # ragged tail: one extra (smaller) call instead of degrading the
+        # chunk to a divisor of n
+        tail = _fold_windowed_place_impl(
+            features[k * nc:], warps[k * nc:], masks_r[k * nc:],
+            init_image_size, (y0[k * nc:], x0[k * nc:]), static_empty,
+            emit_idx)
+        return jax.tree.map(lambda a, b: jnp.concatenate([a, b], 0),
+                            body, tail)
     return _fold_windowed_place_impl(features, warps, masks_r,
                                      init_image_size, (y0, x0), static_empty,
                                      emit_idx)
@@ -945,11 +962,19 @@ def _fold_windowed_place_bwd(g, warps, masks_r, idx, init_image_size,
     p = len(_place_actives(t, static_empty))
     nc = _place_batch_chunk(n, h, w, c, p, g.dtype.itemsize)
     if nc < n:
-        return _map_chunked(
+        arrays = (g, warps, masks_r, idx, y0, x0)
+        k, rem = divmod(n, nc)
+        body = _map_chunked(
             lambda a: _fold_windowed_place_bwd_impl(
                 a[0], a[1], a[2], a[3], init_image_size, (a[4], a[5]),
                 static_empty),
-            nc, (g, warps, masks_r, idx, y0, x0))
+            nc, tuple(a[:k * nc] for a in arrays))
+        if not rem:
+            return body
+        tail = _fold_windowed_place_bwd_impl(
+            g[k * nc:], warps[k * nc:], masks_r[k * nc:], idx[k * nc:],
+            init_image_size, (y0[k * nc:], x0[k * nc:]), static_empty)
+        return jnp.concatenate([body, tail], 0)
     return _fold_windowed_place_bwd_impl(g, warps, masks_r, idx,
                                          init_image_size, (y0, x0),
                                          static_empty)

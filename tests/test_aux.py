@@ -103,3 +103,23 @@ def test_evaluate_cli(tmp_path, monkeypatch):
     assert -1.0 <= result["value"] <= 1.0
     assert result["epoch"] == 1
     assert result["num_batches"] >= 1
+
+
+def test_bench_vs_baseline_metric_matched():
+    """bench.py's vs_baseline only divides by a SAME-metric prior (an
+    infer or h36m A/B run must not be ratioed against the fashion-train
+    baseline) and searches the prev record's secondary sub-records."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    prev = {"metric": "train_x", "value": 100.0,
+            "h36m": {"metric": "train_h", "value": 50.0},
+            "infer": {"metric": "infer_x", "value": 25.0}}
+    assert bench._vs("train_x", 110.0, prev) == 1.1
+    assert bench._vs("train_h", 55.0, prev) == 1.1
+    assert bench._vs("infer_x", 50.0, prev) == 2.0
+    assert bench._vs("some_other_metric", 123.0, prev) == 1.0
+    assert bench._vs("train_x", 110.0, {}) == 1.0

@@ -163,6 +163,36 @@ def test_batch_chunked_placement_matches(monkeypatch):
                                atol=2e-5)
 
 
+def test_ragged_batch_chunk_matches(monkeypatch):
+    """A batch with no divisor under the chunk budget must run k full
+    chunks + one smaller tail call (not degrade to 1-sample chunks) and
+    match the single-call plan exactly on forward and gradient."""
+    from pose_transfer_tpu.ops import warp as warp_mod
+
+    # nc no longer shrinks to a divisor of n: 3 active parts at f32 is
+    # ~0.5625 MB/sample → a 2 MB cap fits 3 samples; n=7 must chunk as
+    # 3+3+1 (nc=3), not degrade to seven 1-sample calls
+    monkeypatch.setenv("PT_WARP_PLACE_CHUNK_MB", "2")
+    assert warp_mod._place_batch_chunk(7, H, W, C, 3, 4) == 3
+    monkeypatch.delenv("PT_WARP_PLACE_CHUNK_MB")
+    f, warps, masks, g = _inputs(fit=True)
+    f3 = jnp.concatenate([f, f[:1]])
+    w3 = jnp.concatenate([warps, warps[:1]])
+    m3 = jnp.concatenate([masks, masks[:1]])
+    g3 = jnp.concatenate([g, g[:1]])
+    fold = lambda x: warp_fold_matmul(  # noqa: E731
+        x, w3, m3, IMG, "max", True, (), "kernel")
+    out_ref, vjp_ref = jax.vjp(fold, f3)
+    df_ref = vjp_ref(g3)[0]
+    monkeypatch.setattr(warp_mod, "_place_batch_chunk",
+                        lambda *a, **k: 2)   # 3 = 1×2 + tail of 1
+    out_c, vjp_c = jax.vjp(fold, f3)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_ref),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(vjp_c(g3)[0]), np.asarray(df_ref),
+                               atol=2e-5)
+
+
 @pytest.mark.parametrize("place", ["xla", "kernel"])
 @pytest.mark.parametrize("fit", [True, False])
 def test_primal_no_idx_matches_vjp_forward(place, fit):

@@ -98,6 +98,25 @@ def _bench_ramp(args, image_size, dtype, feats, warps, masks):
     fused = jax.jit(lambda f, wpp, yyy, xxx: W._warp_batch_win_joint(
         f, wpp, yyy, xxx, s_y, s_x, image_size).sum())
     ms_fused = _time_fn(fused, (feats, wp, yy, xx), args.iters, args.warmup)
+    print(json.dumps({"experiment": "ramp", "leg": "fused",
+                      "batch": int(feats.shape[0]),
+                      "ms_fused": round(ms_fused, 3)}), flush=True)
+
+    # the precomputed-weight legs MATERIALIZE wy/wx — (N·P)·(W·S_y·H +
+    # S_y·S_x·W) elements, 7.5 GB at 256²/b32 (OOMs a 16 GB chip next to
+    # the feature stacks). Probe at the largest batch whose weights stay
+    # under ~4 GB and report the probe batch; ms/sample scales linearly
+    # (independent per-(n,p) work), so the fused-vs-floor comparison
+    # normalizes per sample.
+    per_sample_gb = (wp.shape[1] * (w * s_y * h + s_y * s_x * w)
+                     * jnp.dtype(dtype).itemsize) / 2**30
+    # cap ~1.5 GB: the weight BUILD transits f32 (2× the bf16 result) and
+    # the probe rig holds result + features simultaneously — 3.7 GB of
+    # weights OOM'd a 16 GB chip next to them (measured)
+    nb = feats.shape[0]
+    while nb > 1 and nb * per_sample_gb > 1.5:
+        nb //= 2
+    fp, wpp, yyp, xxp = feats[:nb], wp[:nb], yy[:nb], xx[:nb]
 
     def weights_all(wpp, yyy, xxx):
         def one(tr, yv, xv):
@@ -106,8 +125,8 @@ def _bench_ramp(args, image_size, dtype, feats, warps, masks):
         return jax.vmap(jax.vmap(one))(wpp, yyy, xxx)
 
     jw = jax.jit(weights_all)
-    wy, wx = jax.block_until_ready(jw(wp, yy, xx))
-    ms_weights = _time_fn(lambda *a: jw(*a)[0], (wp, yy, xx),
+    wy, wx = jax.block_until_ready(jw(wpp, yyp, xxp))
+    ms_weights = _time_fn(lambda *a: jw(*a)[0], (wpp, yyp, xxp),
                           args.iters, args.warmup)
 
     def dots(wyv, wxv, f):
@@ -116,15 +135,19 @@ def _bench_ramp(args, image_size, dtype, feats, warps, masks):
         return jnp.einsum("npoax,npoxc->npoac", wxv, tmp,
                           preferred_element_type=f.dtype).sum()
 
-    ms_dots = _time_fn(jax.jit(dots), (wy, wx, feats),
+    ms_dots = _time_fn(jax.jit(dots), (wy, wx, fp),
                        args.iters, args.warmup)
     gb = (wy.size + wx.size) * wy.dtype.itemsize / 2**30
     print(json.dumps({
         "experiment": "ramp", "batch": int(feats.shape[0]),
+        "probe_batch": int(nb),
         "shape": [int(h), int(w), int(c)], "window": [s_y, s_x],
         "ms_fused": round(ms_fused, 3),
         "ms_dots_precomputed_weights": round(ms_dots, 3),
         "ms_weight_build": round(ms_weights, 3),
+        "ms_fused_per_sample": round(ms_fused / feats.shape[0], 4),
+        "ms_dots_per_sample": round(ms_dots / nb, 4),
+        "ms_weight_build_per_sample": round(ms_weights / nb, 4),
         "weights_gb": round(gb, 3),
         "backend": jax.default_backend(),
     }))

@@ -56,6 +56,9 @@ def main() -> None:
     ap.add_argument("--outdir", default="/tmp/pt_trace")
     ap.add_argument("--mode", default="train", choices=["train", "infer"])
     ap.add_argument("--windowed", type=int, default=0)
+    ap.add_argument("--content", default="none",
+                    help="content_loss_layer (e.g. block1_conv2: traces the "
+                         "flagship full recipe — nn_loss area 5, l1_w 1.0)")
     args = ap.parse_args()
 
     import jax
@@ -69,11 +72,15 @@ def main() -> None:
     from pose_transfer_tpu.train.engine import (
         GANConfig, create_state, make_train_step)
 
+    extra = {}
+    if args.content != "none":
+        extra = dict(content_loss_layer=args.content, nn_loss_area_size=5,
+                     l1_penalty_weight=1.0)
     config = GANConfig(image_size=(256, 256), pose_dim=18,
                        batch_size=args.batch, warp_skip="mask",
                        gen_type="baseline", training_ratio=1,
                        compute_dtype=jnp.bfloat16,
-                       warp_windowed=bool(args.windowed))
+                       warp_windowed=bool(args.windowed), **extra)
     state, gen, disc = create_state(config, seed=0)
 
     rng = np.random.default_rng(0)
