@@ -419,7 +419,23 @@ def _warp_batch_win_joint(features, warps_act, y0s, x0s, s_y, s_x,
     but the P separate dot dispatches merge into two einsums with a part
     axis (pass 1 reads the shared features once per sample; pass-2 rows
     grow P-fold) — XLA never merges the unrolled loop's dots itself.
-    ``PT_WARP_JOINT_GROUP`` chunks the part axis (see ``_joint_group``)."""
+    ``PT_WARP_JOINT_GROUP`` chunks the part axis (see ``_joint_group``).
+
+    Measured dead ends (v5e, b32 stage 0, 2026-08-19 — tools/bench_fold.py
+    ``--experiment ramp|joint|joint_bwd``; VERDICT r3 next #2):
+    - Pre-building the banded weights once and feeding the dots
+      materialized tensors LOSES to this fused path (0.906 + 0.745 vs
+      0.642 ms/sample): the weights' HBM reads (0.22 GB/sample) cost more
+      than the in-fusion VPU ramp build. Ramp reuse across passes or
+      fwd/bwd would regress.
+    - The ~4 ms inter-pass transpose copy (pass 1's natural (x,p,o,c)
+      dot order vs pass 2's (p,o) batch order) is invariant to the
+      requested einsum output order, forward (4 variants, all 20.4-20.9
+      ms) and backward (15.3-16.8 ms): XLA's layout assignment picks the
+      same physical plan regardless. Removing it needs the pass boundary
+      not to materialize, and in-kernel pass-2 is blocked by Mosaic's
+      unpipelined per-batch small dots (ops/warp_pallas.py ablation:
+      ~2.3 µs per (256,256)@(256,64) dot → 85 ms/instance)."""
     def one(f, trs, yys, xxs):
         h, w, _ = f.shape
 

@@ -79,7 +79,16 @@ def _bench_ramp(args, image_size, dtype, feats, warps, masks):
     into the dots by XLA), (b) the same dots fed PRECOMPUTED weight
     tensors (pure-MXU floor + weight HBM reads), (c) the weight build
     alone. (a) − (b) ≈ what the fused VPU ramp generation stalls the MXU;
-    if (b) ≫ (c)+dots the weights are materializing instead of fusing."""
+    if (b) ≫ (c)+dots the weights are materializing instead of fusing.
+
+    MEASURED (2026-08-19, v5e, b32 stage 0, bf16, probe_batch 4):
+    fused 0.642 ms/sample vs precomputed-weights dots 0.906 + build
+    0.745 — the PRODUCTION fused path BEATS the 'pure MXU floor' leg
+    because the materialized weights' HBM reads (0.22 GB/sample) cost
+    more than the in-fusion VPU ramp build. VERDICT r3 next #2's
+    'build ramps once and reuse' candidate is therefore a measured
+    regression, not a win; the ramp build is already free relative to
+    the banded dots' memory traffic."""
     import jax
     import jax.numpy as jnp
 
@@ -153,6 +162,119 @@ def _bench_ramp(args, image_size, dtype, feats, warps, masks):
     }))
 
 
+def _bench_joint(args, image_size, dtype, feats, warps, masks):
+    """A/B the joint windowed einsum pair's INTERMEDIATE layout. The
+    round-3 trace shows a ~4 ms full-stack transpose copy between pass 1
+    and pass 2 at b32 stage 0 (vmap(pxoy,yxc->poxc)/transpose): pass 1's
+    natural dot output order is (x,p,o,c) (x is the batch dim) but pass 2
+    consumes (p,o) as batch dims. Variants ask for different tmp orders so
+    XLA's layout assignment can skip the copy; all are the same math.
+
+    MEASURED (2026-08-19, v5e, b32 stage 0 fwd, bf16): poxc (prod)
+    20.47 ms, xpoc 20.86, pxoc 20.43, opxc 20.44 — all within noise.
+    XLA's layout assignment picks the same physical plan regardless of
+    the requested einsum output order; the inter-pass copy is NOT
+    removable at the einsum-spec level. (The structural fix is to not
+    materialize the pass boundary at all — see ops/warp_fused.py.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from pose_transfer_tpu.ops import warp as W
+    from pose_transfer_tpu.ops.warp_fused import X_ALIGN
+
+    h, w, c = feats.shape[1:]
+    s_y, s_x = W._kernel_window_sizes(h, w)
+    masks_r = W.resize_bilinear(masks.astype(feats.dtype), (h, w))
+    y0, x0, _, _ = jax.jit(lambda m: W._support_windows(m, s_y, s_x,
+                                                        X_ALIGN))(masks_r)
+    t = warps.shape[1]
+    sel = list(range(1, t))
+    wp, yy, xx = warps[:, sel], y0[:, sel], x0[:, sel]
+
+    def variant(p1, p2):
+        def one(f, trs, yys, xxs):
+            def weights(tr, yv, xv):
+                return W._two_pass_weights(tr, h, w, image_size, f.dtype,
+                                           y0=yv, x0=xv, s_y=s_y, s_x=s_x)
+            wy, wx = jax.vmap(weights)(trs, yys, xxs)
+            tmp = jnp.einsum(p1, wy, f, preferred_element_type=f.dtype)
+            return jnp.einsum(p2, wx, tmp, preferred_element_type=f.dtype)
+        return jax.jit(lambda f, wpp, yyy, xxx: jax.vmap(one)(
+            f, wpp, yyy, xxx).sum())
+
+    variants = {
+        "poxc (prod)": ("pxoy,yxc->poxc", "poax,poxc->poac"),
+        "xpoc": ("pxoy,yxc->xpoc", "poax,xpoc->poac"),
+        "pxoc": ("pxoy,yxc->pxoc", "poax,pxoc->poac"),
+        "opxc": ("pxoy,yxc->opxc", "poax,opxc->poac"),
+    }
+    for name, (p1, p2) in variants.items():
+        fn = variant(p1, p2)
+        ms = _time_fn(fn, (feats, wp, yy, xx), args.iters, args.warmup)
+        print(json.dumps({"experiment": "joint", "variant": name,
+                          "batch": int(feats.shape[0]),
+                          "ms": round(ms, 3)}), flush=True)
+
+
+def _bench_joint_bwd(args, image_size, dtype, feats, warps, masks):
+    """Same layout A/B for the backward joint pair
+    (``_warp_batch_t_win_joint``): pass 1 'poax,poac->poxc' is natural
+    (batch (p,o)), but pass 2 'pxoy,poxc->yxc' batches over x — so the
+    rhs needs (x,...) leading AND the asked-for output yxc is a transpose
+    of the natural (x,y,c). Variants move the transposes around / emit
+    xyc and transpose outside (where the consumer add may fuse it).
+
+    MEASURED (2026-08-19, v5e, b32 stage 0, bf16): poxc/yxc (prod)
+    15.43 ms, xpoc/yxc 16.82, poxc/xyc+T 15.34, xpoc/xyc+T 15.35 —
+    the production spec is already optimal (xyc+T within noise). Same
+    conclusion as the forward A/B: XLA's layout assignment is invariant
+    to the einsum-spec order; the inter-pass copies are structural."""
+    import jax
+    import jax.numpy as jnp
+
+    from pose_transfer_tpu.ops import warp as W
+    from pose_transfer_tpu.ops.warp_fused import X_ALIGN
+
+    h, w, c = feats.shape[1:]
+    s_y, s_x = W._kernel_window_sizes(h, w)
+    masks_r = W.resize_bilinear(masks.astype(feats.dtype), (h, w))
+    y0, x0, _, _ = jax.jit(lambda m: W._support_windows(m, s_y, s_x,
+                                                        X_ALIGN))(masks_r)
+    t = warps.shape[1]
+    sel = list(range(1, t))
+    wp, yy, xx = warps[:, sel], y0[:, sel], x0[:, sel]
+    import numpy as np
+    rng = np.random.default_rng(1)
+    g = jax.device_put(jnp.asarray(rng.standard_normal(
+        (feats.shape[0], len(sel), s_y, s_x, c)), dtype))
+
+    def variant(p1, p2, out_t):
+        def one(gms, trs, yys, xxs):
+            def weights(tr, yv, xv):
+                return W._two_pass_weights(tr, h, w, image_size, gms.dtype,
+                                           y0=yv, x0=xv, s_y=s_y, s_x=s_x)
+            wy, wx = jax.vmap(weights)(trs, yys, xxs)
+            dtmp = jnp.einsum(p1, wx, gms, preferred_element_type=gms.dtype)
+            df = jnp.einsum(p2, wy, dtmp,
+                            preferred_element_type=jnp.float32)
+            return df.transpose(1, 0, 2) if out_t else df
+        return jax.jit(lambda gg, wpp, yyy, xxx: jax.vmap(one)(
+            gg, wpp, yyy, xxx).sum())
+
+    variants = {
+        "poxc/yxc (prod)": ("poax,poac->poxc", "pxoy,poxc->yxc", False),
+        "xpoc/yxc": ("poax,poac->xpoc", "pxoy,xpoc->yxc", False),
+        "poxc/xyc+T": ("poax,poac->poxc", "pxoy,poxc->xyc", True),
+        "xpoc/xyc+T": ("poax,poac->xpoc", "pxoy,xpoc->xyc", True),
+    }
+    for name, (p1, p2, out_t) in variants.items():
+        fn = variant(p1, p2, out_t)
+        ms = _time_fn(fn, (g, wp, yy, xx), args.iters, args.warmup)
+        print(json.dumps({"experiment": "joint_bwd", "variant": name,
+                          "batch": int(feats.shape[0]),
+                          "ms": round(ms, 3)}), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--image_size", type=int, default=256)
@@ -166,9 +288,12 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=5)
-    ap.add_argument("--experiment", default=None, choices=(None, "ramp"),
+    ap.add_argument("--experiment", default=None,
+                    choices=(None, "ramp", "joint", "joint_bwd"),
                     help="'ramp': isolate the weight-build cost of the "
-                         "windowed joint einsums instead of timing folds")
+                         "windowed joint einsums instead of timing folds; "
+                         "'joint': A/B the joint einsums' intermediate "
+                         "layout (the inter-pass transpose copy)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon sitecustomize "
                          "overrides a shell-level JAX_PLATFORMS=cpu)")
@@ -195,6 +320,12 @@ def main():
                                        args.pose_dim, args.stage, dtype)
     if args.experiment == "ramp":
         _bench_ramp(args, image_size, dtype, feats, warps, masks)
+        return
+    if args.experiment == "joint":
+        _bench_joint(args, image_size, dtype, feats, warps, masks)
+        return
+    if args.experiment == "joint_bwd":
+        _bench_joint_bwd(args, image_size, dtype, feats, warps, masks)
         return
     static_empty = static_empty_parts(args.pose_dim)
 
