@@ -169,6 +169,56 @@ def _bench_infer(config, iters: int) -> tuple[float, float | None, float]:
     return iters * config.batch_size / dt, flops, dt / iters
 
 
+def _warp_flop_model(config, mode: str) -> tuple[float, float] | None:
+    """(dense_dot_flops, useful_flops) of the warp fold per step.
+
+    XLA's executed-FLOP count prices the fold's two-pass einsums as dense
+    dots, but their banded weight matrices carry ≤ 2 nonzero taps per
+    output position out of up to W (``ops/warp.py::_line_weights``) — the
+    dots are ~99% structural zeros. The *useful* work of a warp is the
+    bilinear sample itself: 4 MACs (8 flops) per emitted output element
+    (reference op: src_deformable/utils/pose_transform.py:37-39). This
+    mirrors the production path's static shape selection (windowing,
+    kernel window sizes, static-empty compaction) to price both views,
+    so ``mfu_useful`` reports utilization against work an oracle resampler
+    would do rather than work the dense formulation happens to run.
+    Returns None for configs the model doesn't cover (non-deformable).
+    """
+    if config.gen_type == "unet" or config.warp_skip != "mask":
+        return None
+    from pose_transfer_tpu.core.transforms_host import static_empty_parts
+    from pose_transfer_tpu.models.networks import encoder_filters_for
+    from pose_transfer_tpu.ops import warp as W
+
+    enc = encoder_filters_for(config.image_size)
+    act = config.num_warp_transforms - len(
+        static_empty_parts(config.pose_dim))
+    h0, w0 = config.image_size
+    dense = useful = 0.0
+    for i in range(4):  # DeformableGenerator.num_warp_stages
+        h, w, c = h0 >> i, w0 >> i, enc[i]
+        two_pass_full = 2.0 * h * w * c * (h + w)
+        if W._windowable(h, w):
+            sizes = W._kernel_window_sizes(h, w)
+            sy, sx = sizes if sizes else (h // 2, w // 2)
+            p = act - 1
+            dense += two_pass_full \
+                + p * 2.0 * sy * c * (w * h + sx * w)
+            useful += 8.0 * c * (h * w + p * sy * sx)
+        else:
+            dense += act * two_pass_full
+            useful += 8.0 * c * act * h * w
+    # backward = transposed einsum pairs of identical total shape (body +
+    # joint part pass, ops/warp.py::_fold_windowed_place_bwd_impl).
+    # Warp instances per train step: each disc update runs ONE generator
+    # forward (only the fake batch transits the generator —
+    # train/engine.py::disc_phase), plus the gen phase's fwd + bwd.
+    fwd = (config.training_ratio + 1) if mode == "train" else 1
+    bwd = 1 if mode == "train" else 0
+    n = config.batch_size
+    return (fwd + bwd) * n * dense, (fwd + bwd) * n * useful
+
+
 def _vs(metric: str, value: float, rec: dict) -> float:
     """Round-over-round ratio — only against a prev record of the SAME
     metric (an A/B infer or h36m run must not divide by the fashion
@@ -184,19 +234,34 @@ def _vs(metric: str, value: float, rec: dict) -> float:
     return 1.0
 
 
-def _mfu_fields(flops: float | None, sec_per_step: float) -> dict:
-    """Achieved TFLOP/s and MFU from XLA's executed-FLOP count. Peak is
-    the chip's bf16 matmul peak (v5e default; override BENCH_PEAK_TFLOPS
-    on other generations). Executed FLOPs — the banded warp contractions
-    count at face value, so this is the utilization of what actually runs,
-    an upper bound on 'useful-FLOP' MFU."""
+def _mfu_fields(flops: float | None, sec_per_step: float,
+                config=None, mode: str = "train") -> dict:
+    """Achieved TFLOP/s and MFU from XLA's executed-FLOP count, plus the
+    useful-FLOP view. Peak is the chip's bf16 matmul peak (v5e default;
+    override BENCH_PEAK_TFLOPS on other generations).
+
+    ``mfu_vs_peak`` prices executed FLOPs at face value — the banded warp
+    contractions included — so it measures utilization of what actually
+    runs (an upper bound). ``mfu_useful`` re-prices the fold at its
+    irreducible bilinear-sampling work (``_warp_flop_model``): the honest
+    "how much of this step is work any implementation must do" number —
+    the gap between the two is the fold's structural-zero dot padding."""
     if not flops:
         return {}
     peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
     achieved = flops / sec_per_step / 1e12
-    return {"tflops_per_step": round(flops / 1e12, 3),
-            "achieved_tflops": round(achieved, 1),
-            "mfu_vs_peak": round(achieved / peak, 3)}
+    out = {"tflops_per_step": round(flops / 1e12, 3),
+           "achieved_tflops": round(achieved, 1),
+           "mfu_vs_peak": round(achieved / peak, 3)}
+    model = _warp_flop_model(config, mode) if config is not None else None
+    if model is not None:
+        dense, useful_warp = model
+        useful = flops - dense + useful_warp
+        if 0 < useful <= flops:
+            out["useful_tflops_per_step"] = round(useful / 1e12, 3)
+            out["mfu_useful"] = round(useful / sec_per_step / 1e12 / peak,
+                                      3)
+    return out
 
 
 def main() -> None:
@@ -239,7 +304,7 @@ def main() -> None:
         "vs_baseline": _vs(metric, ips, prev),
         "batch": config.batch_size,
     }
-    record.update(_mfu_fields(flops, sec_per_step))
+    record.update(_mfu_fields(flops, sec_per_step, config, mode))
     if secondary:
         h_cfg = _make_config("h36m", "train")
         h_ips, h_flops, h_sec = _bench_train(h_cfg, iters)
@@ -250,7 +315,7 @@ def main() -> None:
             "unit": "images/sec/chip",
             "vs_baseline": _vs(h_metric, h_ips, prev),
             "batch": h_cfg.batch_size,
-            **_mfu_fields(h_flops, h_sec),
+            **_mfu_fields(h_flops, h_sec, h_cfg, "train"),
         }
         i_cfg = _make_config("fashion", "infer")
         i_ips, i_flops, i_sec = _bench_infer(
@@ -262,7 +327,7 @@ def main() -> None:
             "unit": "images/sec/chip",
             "vs_baseline": _vs(i_metric, i_ips, prev),
             "batch": i_cfg.batch_size,
-            **_mfu_fields(i_flops, i_sec),
+            **_mfu_fields(i_flops, i_sec, i_cfg, "infer"),
         }
     print(json.dumps(record))
 

@@ -212,6 +212,86 @@ def fold_place(body: jax.Array, wins: jax.Array, mwins: jax.Array,
     return res if emit_idx else (res[0], None)
 
 
+def _place_stream_kernel(rch, offs_ref, acc_in_ref, idx_in_ref, wins_ref,
+                         mwins_ref, out_ref, idx_ref):
+    """Streaming variant of ``_place_kernel``: accumulate one part GROUP
+    into an existing fold state (carried through HBM between groups)
+    instead of initializing from the body and finishing with the zero
+    pass. The in/out state buffers are input_output_aliased, so each
+    group costs one extra out+idx HBM round trip vs the monolithic
+    kernel — the price of never materializing the whole wins stack.
+    Measured by ``tools/bench_fold.py --experiment partstream`` (results
+    recorded there)."""
+    p = pl.program_id(1)
+    sy, sx = wins_ref.shape[2], wins_ref.shape[3]
+    w, c = out_ref.shape[2], out_ref.shape[3]
+
+    @pl.when(p == 0)
+    def _():
+        out_ref[...] = acc_in_ref[...]
+        idx_ref[...] = idx_in_ref[...]
+
+    y0 = offs_ref[0, p, 0]
+    x0 = pl.multiple_of(offs_ref[0, p, 1], X_ALIGN)
+    pv = offs_ref[0, p, 2].astype(jnp.float32).astype(jnp.bfloat16)
+
+    def chunk(i, _):
+        r0 = y0 + i * rch
+        cur = out_ref[0, pl.ds(r0, rch), pl.ds(x0, sx), :]
+        mw = mwins_ref[0, 0, pl.ds(i * rch, rch)].astype(jnp.float32)
+        zf = wins_ref[0, 0, pl.ds(i * rch, rch)].astype(jnp.float32) \
+            * mw[..., None]
+        z = zf.astype(out_ref.dtype)
+        take = z.astype(jnp.float32) > cur.astype(jnp.float32)
+        out_ref[0, pl.ds(r0, rch), pl.ds(x0, sx), :] = \
+            jnp.where(take, z, cur)
+        curi = idx_ref[0, pl.ds(r0, rch), pl.ds(x0, sx), :]
+        idx_ref[0, pl.ds(r0, rch), pl.ds(x0, sx), :] = \
+            jnp.where(take, jnp.broadcast_to(pv, (rch, sx, c)), curi)
+        return 0
+
+    jax.lax.fori_loop(0, sy // rch, chunk, 0)
+
+
+def fold_place_stream(acc: jax.Array, idx: jax.Array, wins: jax.Array,
+                      mwins: jax.Array, offs: jax.Array,
+                      interpret: bool = False):
+    """Fold one part group into (acc, idx) — the verdict-r3 #5 candidate
+    'stream part-chunks of the joint einsum through the placement kernel'.
+    ``acc``/``idx`` are donated (input_output_aliased): the state updates
+    in place, so only one group's (N, Pg, SY, SX, C) wins stack is live at
+    a time when sequenced by ``lax.scan``. The caller initializes the
+    state from the pre-masked body warp (idx 0) and applies the
+    zero-contribution pass after the last group — the monolithic
+    ``fold_place`` fuses both into the kernel; this variant pays them as
+    XLA passes plus (groups−1) extra state round trips."""
+    n, h, w, c = acc.shape
+    p = wins.shape[1]
+    sy, sx = wins.shape[2], wins.shape[3]
+    out_block = pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_place_stream_kernel, _rch(sy)),
+        grid=(n, p),
+        in_specs=[
+            pl.BlockSpec((1, p, 3), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            out_block,
+            out_block,
+            pl.BlockSpec((1, 1, sy, sx, c), lambda i, j: (i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sy, sx), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_block, out_block],
+        out_shape=[jax.ShapeDtypeStruct((n, h, w, c), acc.dtype),
+                   jax.ShapeDtypeStruct((n, h, w, c), idx.dtype)],
+        input_output_aliases={1: 0, 2: 1},
+        compiler_params=_vmem_params(),
+        interpret=interpret,
+    )(offs, acc, idx, wins, mwins)
+
+
 def _route_kernel(rch, offs_ref, g_ref, idx_ref, mask0_ref, mwins_ref,
                   gwin_ref, gbody_ref):
     """One (sample, part) cell: route the cotangent window to this part.

@@ -123,3 +123,34 @@ def test_bench_vs_baseline_metric_matched():
     assert bench._vs("infer_x", 50.0, prev) == 2.0
     assert bench._vs("some_other_metric", 123.0, prev) == 1.0
     assert bench._vs("train_x", 110.0, {}) == 1.0
+
+
+def test_bench_warp_flop_model():
+    """The useful-FLOP pricing of the warp fold (bench.py::_warp_flop_model):
+    dense two-pass dot FLOPs vs the irreducible 4-MAC bilinear work. Pins
+    the fashion-256 stage-0 arithmetic by hand and the structural facts the
+    MFU honesty claim rests on (useful ≪ dense; train = ratio+1 fwd +
+    1 bwd instances; infer = 1 fwd)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    from pose_transfer_tpu.train.engine import GANConfig
+
+    cfg = GANConfig(image_size=(256, 256), pose_dim=18, batch_size=1,
+                    warp_skip="mask", gen_type="baseline", training_ratio=1)
+    dense, useful = bench._warp_flop_model(cfg, "train")
+    # stage 0 by hand: body two-pass 2·256·256·64·(256+256); 9 windowed
+    # parts at (s_y, s_x) = (128, 144): pass1 2·128·64·256·256 each,
+    # pass2 2·128·144·64·256 each
+    s0 = 2 * 256 * 256 * 64 * 512 + 9 * (2 * 128 * 64 * 256 * 256
+                                         + 2 * 128 * 144 * 64 * 256)
+    assert dense > 3 * s0  # 3 instances of stage 0 alone
+    assert useful < dense / 50  # the dots are >98% structural zeros
+    d_inf, u_inf = bench._warp_flop_model(cfg, "infer")
+    assert dense == 3 * d_inf and useful == 3 * u_inf
+    # non-deformable configs are out of the model's scope
+    unet = GANConfig(image_size=(256, 256), pose_dim=18, batch_size=1,
+                     warp_skip="none", gen_type="unet")
+    assert bench._warp_flop_model(unet, "train") is None

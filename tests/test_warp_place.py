@@ -216,3 +216,46 @@ def test_primal_no_idx_matches_full_fold_and_static_empty():
             x, warps, masks, IMG, "max", False, se)
         np.testing.assert_array_equal(
             np.asarray(fold(f)), np.asarray(jax.vjp(fold, f)[0]))
+
+
+def test_fold_place_stream_matches_monolithic():
+    """``fold_place_stream`` (the part-group streaming variant measured by
+    tools/bench_fold.py --experiment partstream — VERDICT r3 next #5's
+    suggested structure) must be BIT-exact vs the monolithic
+    ``fold_place`` when fed the same wins stack: same strict-max/argmax
+    semantics, state carried through the aliased buffers across groups,
+    body init and zero-contribution pass applied by the caller."""
+    from pose_transfer_tpu.ops import warp as warp_mod
+    from pose_transfer_tpu.ops import warp_fused as wf
+
+    f, warps, masks, _ = _inputs(fit=True, dtype=jnp.bfloat16)
+    h, w, c = f.shape[1:]
+    s_y, s_x = warp_mod._kernel_window_sizes(h, w)
+    masks_r = warp_mod.resize_bilinear(masks.astype(f.dtype), (h, w))
+    y0, x0, _, _ = _support_windows(masks_r, s_y, s_x, wf.X_ALIGN)
+    actives = warp_mod._place_actives(T, ())
+    sel = list(actives)
+    mwins = jnp.stack([warp_mod._slice_win(masks_r[:, i], y0[:, i],
+                                           x0[:, i], s_y, s_x)
+                       for i in sel], axis=1)
+    offs = warp_mod._place_offs(y0, x0, actives)
+    zero_nb = (masks_r[:, 1:] == 0).any(axis=1).astype(f.dtype)
+    body = warp_mod._warp_batch(f, warps[:, 0], IMG) \
+        * masks_r[:, 0][..., None]
+    wins = warp_mod._warp_batch_win_joint(f, warps[:, sel], y0[:, sel],
+                                          x0[:, sel], s_y, s_x, IMG)
+
+    out_ref, idx_ref = wf.fold_place(body, wins, mwins, zero_nb, offs,
+                                     interpret=True, emit_idx=True)
+
+    acc, idx = body, jnp.zeros(body.shape, jnp.bfloat16)
+    for k in range(len(sel)):      # one part per group: 3 groups
+        s = slice(k, k + 1)
+        acc, idx = wf.fold_place_stream(acc, idx, wins[:, s], mwins[:, s],
+                                        offs[:, s], interpret=True)
+    take0 = (zero_nb > 0)[..., None] & (acc < 0)
+    out = jnp.where(take0, jnp.zeros((), acc.dtype), acc)
+    idx = jnp.where(take0, jnp.asarray(-1.0, idx.dtype), idx)
+
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out_ref))
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))

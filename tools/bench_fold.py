@@ -275,6 +275,119 @@ def _bench_joint_bwd(args, image_size, dtype, feats, warps, masks):
                           "ms": round(ms, 3)}), flush=True)
 
 
+def _bench_partstream(args, image_size, dtype, feats, warps, masks):
+    """Measure VERDICT r3 next #5's suggested structure: stream part
+    GROUPS of the joint einsum output through the placement kernel
+    (``warp_fused.fold_place_stream`` under ``lax.scan``, fold state
+    donated between groups) so the whole (N, P, S_y, S_x, C) wins stack
+    never lives in HBM — versus the production monolithic kernel.
+
+    The bandwidth arithmetic predicts the stream loses: the wins tensor
+    already makes exactly ONE HBM round trip (einsum writes it once, the
+    kernel reads it once — aliasing cannot remove a producer/consumer
+    materialization across a custom-call boundary), so part-streaming
+    only reduces *residency*, at the price of (groups − 1) extra
+    out+idx state round trips (2 × 2 × N·H·W·C·itemsize per extra
+    group) plus un-fusing the body init and zero pass from the kernel.
+    Residency is already bounded for free by batch chunking
+    (``ops.warp._place_batch_chunk``), which adds NO traffic. This rig
+    measures both legs' wall clock and compiled high-water marks
+    (``memory_analysis``) so the verdict is recorded, not argued.
+    Measured results are recorded below / in ops/warp.py once the
+    hardware run lands."""
+    import jax
+    import jax.numpy as jnp
+
+    from pose_transfer_tpu.ops import warp as W
+    from pose_transfer_tpu.ops import warp_fused as WF
+
+    n = feats.shape[0]
+    h, w, c = feats.shape[1:]
+    s_y, s_x = W._kernel_window_sizes(h, w)
+    masks_r = jax.jit(lambda m: W.resize_bilinear(
+        m.astype(dtype), (h, w)))(masks)
+    y0, x0, _, _ = jax.jit(lambda m: W._support_windows(
+        m, s_y, s_x, WF.X_ALIGN))(masks_r)
+    t = warps.shape[1]
+    actives = W._place_actives(t, ())
+    sel = list(actives)
+    p = len(sel)
+    g = args.groups
+    assert p % g == 0, f"groups {g} must divide parts {p}"
+    pg = p // g
+
+    mwins = jax.jit(lambda mr, yy, xx: jnp.stack(
+        [W._slice_win(mr[:, i], yy[:, i], xx[:, i], s_y, s_x)
+         for i in sel], axis=1))(masks_r, y0, x0)
+    offs = W._place_offs(y0, x0, actives)
+    zero_nb = (masks_r[:, 1:] == 0).any(axis=1).astype(dtype)
+    interpret = jax.default_backend() != "tpu"
+
+    def _body(f, wp, mr):
+        return W._warp_batch(f, wp[:, 0], image_size) * mr[:, 0][..., None]
+
+    def prod(f, wp, mr, yy, xx, mw, off, znb):
+        body = _body(f, wp, mr)
+        wins = W._warp_batch_win_joint(f, wp[:, sel], yy[:, sel],
+                                       xx[:, sel], s_y, s_x, image_size)
+        out, _ = WF.fold_place(body, wins, mw, znb, off, interpret, True)
+        return out
+
+    def stream(f, wp, mr, yy, xx, mw, off, znb):
+        body = _body(f, wp, mr)
+        idx0 = jnp.zeros(body.shape, jnp.bfloat16)
+
+        def grp(a):  # (n, p, ...) -> (g, n, pg, ...) scan xs
+            return a.reshape(n, g, pg, *a.shape[2:]).swapaxes(0, 1)
+
+        xs = (grp(wp[:, sel]), grp(yy[:, sel]), grp(xx[:, sel]),
+              grp(mw), grp(off))
+
+        def step(carry, x):
+            acc, idx = carry
+            wpg, yyg, xxg, mwg, offg = x
+            wins = W._warp_batch_win_joint(f, wpg, yyg, xxg, s_y, s_x,
+                                           image_size)
+            return WF.fold_place_stream(acc, idx, wins, mwg, offg,
+                                        interpret), None
+
+        (acc, idx), _ = jax.lax.scan(step, (body, idx0), xs)
+        # the zero-contribution pass the monolithic kernel fuses
+        take0 = (znb > 0)[..., None] & (acc < 0)
+        return jnp.where(take0, jnp.zeros((), acc.dtype), acc)
+
+    inputs = (feats, warps, masks_r, y0, x0, mwins, offs, zero_nb)
+    legs = {"prod_monolithic": prod, f"partstream_g{g}": stream}
+    outs = {}
+    for name, fn in legs.items():
+        jf = jax.jit(fn)
+        try:
+            ma = jf.lower(*inputs).compile().memory_analysis()
+            temp_gb = round(ma.temp_size_in_bytes / 2**30, 3)
+        except Exception:
+            temp_gb = None
+        outs[name] = np.asarray(jax.block_until_ready(jf(*inputs)))
+        ms = _time_fn(lambda *a, _f=jf: _f(*a).sum(), inputs,
+                      args.iters, args.warmup)
+        print(json.dumps({
+            "experiment": "partstream", "leg": name,
+            "batch": n, "shape": [int(h), int(w), int(c)],
+            "groups": g if "stream" in name else 1,
+            "ms": round(ms, 3), "temp_hbm_gb": temp_gb,
+            "backend": jax.default_backend()}), flush=True)
+    a, b = outs.values()
+    # bit-exactness holds for the kernel itself (verified: identical wins
+    # input → identical output, tests/test_warp_place.py); any residual
+    # diff here is the per-GROUP einsum's different contraction blocking
+    # (different f32 accumulation order → different bf16 rounding), the
+    # same reason PT_WARP_JOINT_GROUP is tolerance-tested.
+    print(json.dumps({
+        "experiment": "partstream",
+        "bitexact": bool(np.array_equal(a, b)),
+        "max_abs_diff": float(np.abs(a.astype(np.float32)
+                                     - b.astype(np.float32)).max())}))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--image_size", type=int, default=256)
@@ -288,8 +401,11 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--groups", type=int, default=3,
+                    help="part groups for --experiment partstream")
     ap.add_argument("--experiment", default=None,
-                    choices=(None, "ramp", "joint", "joint_bwd"),
+                    choices=(None, "ramp", "joint", "joint_bwd",
+                             "partstream"),
                     help="'ramp': isolate the weight-build cost of the "
                          "windowed joint einsums instead of timing folds; "
                          "'joint': A/B the joint einsums' intermediate "
@@ -326,6 +442,9 @@ def main():
         return
     if args.experiment == "joint_bwd":
         _bench_joint_bwd(args, image_size, dtype, feats, warps, masks)
+        return
+    if args.experiment == "partstream":
+        _bench_partstream(args, image_size, dtype, feats, warps, masks)
         return
     static_empty = static_empty_parts(args.pose_dim)
 
