@@ -31,12 +31,14 @@ import time
 
 import numpy as np
 
-# measured throughput-optimal train batch per dataset on v5e with the
-# kernel-placed windowed fold (sweeps in CLAUDE.md); infer is HBM-bound
-# and fastest at batch 8
+# measured throughput-optimal batch per dataset/mode on v5e with the
+# kernel-placed windowed fold (round-4 sweep in CLAUDE.md; infer re-swept
+# with the no-grad argmax skip: b16 428.5 vs b8 405.0 img/s)
 _DATASETS = {
-    "fashion": dict(image_size=(256, 256), pose_dim=18, train_batch=32),
-    "h36m": dict(image_size=(224, 224), pose_dim=16, train_batch=48),
+    "fashion": dict(image_size=(256, 256), pose_dim=18, train_batch=32,
+                    infer_batch=16),
+    "h36m": dict(image_size=(224, 224), pose_dim=16, train_batch=48,
+                 infer_batch=16),
 }
 
 
@@ -70,7 +72,7 @@ def _make_config(dataset: str, mode: str, batch: int | None = None):
 
     spec = _DATASETS[dataset]
     if batch is None:
-        batch = spec["train_batch"] if mode == "train" else 8
+        batch = spec["train_batch" if mode == "train" else "infer_batch"]
     ww = os.environ.get("BENCH_WINDOWED", "auto")
     windowed = None if ww == "auto" else ww != "0"
     # BENCH_CONTENT=block1_conv2 times the FULL flagship recipe (VGG

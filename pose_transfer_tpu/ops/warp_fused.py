@@ -212,8 +212,7 @@ def fold_place(body: jax.Array, wins: jax.Array, mwins: jax.Array,
     return res if emit_idx else (res[0], None)
 
 
-def _place_stream_kernel(rch, offs_ref, acc_in_ref, idx_in_ref, wins_ref,
-                         mwins_ref, out_ref, idx_ref):
+def _place_stream_kernel(rch, emit_idx, offs_ref, acc_in_ref, *rest):
     """Streaming variant of ``_place_kernel``: accumulate one part GROUP
     into an existing fold state (carried through HBM between groups)
     instead of initializing from the body and finishing with the zero
@@ -221,7 +220,20 @@ def _place_stream_kernel(rch, offs_ref, acc_in_ref, idx_in_ref, wins_ref,
     group costs one extra out+idx HBM round trip vs the monolithic
     kernel — the price of never materializing the whole wins stack.
     Measured by ``tools/bench_fold.py --experiment partstream`` (results
-    recorded there)."""
+    recorded there).
+
+    VMEM note: with ``emit_idx`` the kernel carries FOUR full-resolution
+    state windows (acc/idx in + out) against the monolithic kernel's
+    three — at 256²/C=64 (16 MiB per lane-padded block, double-buffered)
+    that exceeds the 127 MiB scoped budget and Mosaic refuses to compile;
+    the idx-carrying stream therefore cannot even run at the shape the
+    wins-stack concern is about. The primal-only variant fits and is what
+    the partstream experiment times."""
+    if emit_idx:
+        idx_in_ref, wins_ref, mwins_ref, out_ref, idx_ref = rest
+    else:
+        wins_ref, mwins_ref, out_ref = rest
+        idx_in_ref = idx_ref = None
     p = pl.program_id(1)
     sy, sx = wins_ref.shape[2], wins_ref.shape[3]
     w, c = out_ref.shape[2], out_ref.shape[3]
@@ -229,7 +241,8 @@ def _place_stream_kernel(rch, offs_ref, acc_in_ref, idx_in_ref, wins_ref,
     @pl.when(p == 0)
     def _():
         out_ref[...] = acc_in_ref[...]
-        idx_ref[...] = idx_in_ref[...]
+        if emit_idx:
+            idx_ref[...] = idx_in_ref[...]
 
     y0 = offs_ref[0, p, 0]
     x0 = pl.multiple_of(offs_ref[0, p, 1], X_ALIGN)
@@ -245,16 +258,17 @@ def _place_stream_kernel(rch, offs_ref, acc_in_ref, idx_in_ref, wins_ref,
         take = z.astype(jnp.float32) > cur.astype(jnp.float32)
         out_ref[0, pl.ds(r0, rch), pl.ds(x0, sx), :] = \
             jnp.where(take, z, cur)
-        curi = idx_ref[0, pl.ds(r0, rch), pl.ds(x0, sx), :]
-        idx_ref[0, pl.ds(r0, rch), pl.ds(x0, sx), :] = \
-            jnp.where(take, jnp.broadcast_to(pv, (rch, sx, c)), curi)
+        if emit_idx:
+            curi = idx_ref[0, pl.ds(r0, rch), pl.ds(x0, sx), :]
+            idx_ref[0, pl.ds(r0, rch), pl.ds(x0, sx), :] = \
+                jnp.where(take, jnp.broadcast_to(pv, (rch, sx, c)), curi)
         return 0
 
     jax.lax.fori_loop(0, sy // rch, chunk, 0)
 
 
-def fold_place_stream(acc: jax.Array, idx: jax.Array, wins: jax.Array,
-                      mwins: jax.Array, offs: jax.Array,
+def fold_place_stream(acc: jax.Array, idx: jax.Array | None,
+                      wins: jax.Array, mwins: jax.Array, offs: jax.Array,
                       interpret: bool = False):
     """Fold one part group into (acc, idx) — the verdict-r3 #5 candidate
     'stream part-chunks of the joint einsum through the placement kernel'.
@@ -264,32 +278,40 @@ def fold_place_stream(acc: jax.Array, idx: jax.Array, wins: jax.Array,
     state from the pre-masked body warp (idx 0) and applies the
     zero-contribution pass after the last group — the monolithic
     ``fold_place`` fuses both into the kernel; this variant pays them as
-    XLA passes plus (groups−1) extra state round trips."""
+    XLA passes plus (groups−1) extra state round trips.
+
+    ``idx=None`` runs the primal-only stream (no argmax carry) — the only
+    variant that fits VMEM at 256²/C=64 (see ``_place_stream_kernel``).
+    Returns (out, idx) with ``idx`` None in that mode."""
+    emit_idx = idx is not None
     n, h, w, c = acc.shape
     p = wins.shape[1]
     sy, sx = wins.shape[2], wins.shape[3]
     out_block = pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_place_stream_kernel, _rch(sy)),
+    win_specs = [
+        pl.BlockSpec((1, 1, sy, sx, c), lambda i, j: (i, j, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, sy, sx), lambda i, j: (i, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    offs_spec = pl.BlockSpec((1, p, 3), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.SMEM)
+    res = pl.pallas_call(
+        functools.partial(_place_stream_kernel, _rch(sy), emit_idx),
         grid=(n, p),
-        in_specs=[
-            pl.BlockSpec((1, p, 3), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            out_block,
-            out_block,
-            pl.BlockSpec((1, 1, sy, sx, c), lambda i, j: (i, j, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, sy, sx), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[out_block, out_block],
-        out_shape=[jax.ShapeDtypeStruct((n, h, w, c), acc.dtype),
-                   jax.ShapeDtypeStruct((n, h, w, c), idx.dtype)],
-        input_output_aliases={1: 0, 2: 1},
+        in_specs=([offs_spec, out_block, out_block] + win_specs
+                  if emit_idx else [offs_spec, out_block] + win_specs),
+        out_specs=[out_block, out_block] if emit_idx else [out_block],
+        out_shape=[jax.ShapeDtypeStruct((n, h, w, c), acc.dtype)]
+        + ([jax.ShapeDtypeStruct((n, h, w, c), idx.dtype)]
+           if emit_idx else []),
+        input_output_aliases={1: 0, 2: 1} if emit_idx else {1: 0},
         compiler_params=_vmem_params(),
         interpret=interpret,
-    )(offs, acc, idx, wins, mwins)
+    )(*((offs, acc, idx, wins, mwins) if emit_idx
+        else (offs, acc, wins, mwins)))
+    return res if emit_idx else (res[0], None)
 
 
 def _route_kernel(rch, offs_ref, g_ref, idx_ref, mask0_ref, mwins_ref,

@@ -259,3 +259,16 @@ def test_fold_place_stream_matches_monolithic():
 
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out_ref))
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
+
+    # primal-only stream (idx=None — the only variant that fits VMEM at
+    # 256²/C=64, what --experiment partstream actually times)
+    acc = body
+    for k in range(len(sel)):
+        s = slice(k, k + 1)
+        acc, no_idx = wf.fold_place_stream(acc, None, wins[:, s],
+                                           mwins[:, s], offs[:, s],
+                                           interpret=True)
+        assert no_idx is None
+    out_p = jnp.where((zero_nb > 0)[..., None] & (acc < 0),
+                      jnp.zeros((), acc.dtype), acc)
+    np.testing.assert_array_equal(np.asarray(out_p), np.asarray(out_ref))

@@ -293,8 +293,24 @@ def _bench_partstream(args, image_size, dtype, feats, warps, masks):
     (``ops.warp._place_batch_chunk``), which adds NO traffic. This rig
     measures both legs' wall clock and compiled high-water marks
     (``memory_analysis``) so the verdict is recorded, not argued.
-    Measured results are recorded below / in ops/warp.py once the
-    hardware run lands."""
+
+    Both legs run PRIMAL-ONLY (emit_idx=False): the idx-carrying stream
+    needs four full-res state windows in VMEM and Mosaic refuses the
+    256²/C=64 shape outright (see ``warp_fused._place_stream_kernel``),
+    so the training variant of the stream is not even compilable at the
+    shape the wins-stack concern is about — itself a recorded verdict.
+
+    MEASURED (v5e, b32, stage 0, bf16, 2026-08-20; bit-exact outputs):
+      prod_monolithic  36.5-37.6 ms   temp_hbm 6.16 GB
+      partstream_g3    43.4 ms (+18%) temp_hbm 2.89 GB
+      partstream_g9    39.2 ms (+7.5%) temp_hbm 0.82 GB
+    The stream cuts compiled high-water residency up to 7.5× but always
+    loses wall clock — exactly the extra-state-traffic prediction — and
+    the idx-carrying variant training would need does not fit VMEM at
+    all. Verdict: measured dead end for throughput; the monolithic
+    kernel + batch chunking stay. (Worth revisiting only if a
+    memory-constrained deployment needs the residency cut and accepts
+    the ~8% fold tax — the machinery is here and parity-tested.)"""
     import jax
     import jax.numpy as jnp
 
@@ -330,12 +346,11 @@ def _bench_partstream(args, image_size, dtype, feats, warps, masks):
         body = _body(f, wp, mr)
         wins = W._warp_batch_win_joint(f, wp[:, sel], yy[:, sel],
                                        xx[:, sel], s_y, s_x, image_size)
-        out, _ = WF.fold_place(body, wins, mw, znb, off, interpret, True)
+        out, _ = WF.fold_place(body, wins, mw, znb, off, interpret, False)
         return out
 
     def stream(f, wp, mr, yy, xx, mw, off, znb):
         body = _body(f, wp, mr)
-        idx0 = jnp.zeros(body.shape, jnp.bfloat16)
 
         def grp(a):  # (n, p, ...) -> (g, n, pg, ...) scan xs
             return a.reshape(n, g, pg, *a.shape[2:]).swapaxes(0, 1)
@@ -343,15 +358,15 @@ def _bench_partstream(args, image_size, dtype, feats, warps, masks):
         xs = (grp(wp[:, sel]), grp(yy[:, sel]), grp(xx[:, sel]),
               grp(mw), grp(off))
 
-        def step(carry, x):
-            acc, idx = carry
+        def step(acc, x):
             wpg, yyg, xxg, mwg, offg = x
             wins = W._warp_batch_win_joint(f, wpg, yyg, xxg, s_y, s_x,
                                            image_size)
-            return WF.fold_place_stream(acc, idx, wins, mwg, offg,
-                                        interpret), None
+            out, _ = WF.fold_place_stream(acc, None, wins, mwg, offg,
+                                          interpret)
+            return out, None
 
-        (acc, idx), _ = jax.lax.scan(step, (body, idx0), xs)
+        acc, _ = jax.lax.scan(step, body, xs)
         # the zero-contribution pass the monolithic kernel fuses
         take0 = (znb > 0)[..., None] & (acc < 0)
         return jnp.where(take0, jnp.zeros((), acc.dtype), acc)
