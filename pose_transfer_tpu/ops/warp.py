@@ -53,6 +53,27 @@ int8 quantized dots (2× MXU peak on v5e) also measured SLOWER through XLA
 (16.6 vs 12.0 ms for the stage-0 fold forward) — the quantize/requantize
 elementwise passes and the int8 lowering eat the gain.
 
+Round-4 closes the remaining structural leads with measurements
+(tools/bench_fold.py experiments; numbers in their docstrings):
+  - Precomputing the banded ramp weights (reuse across fwd/bwd) LOSES —
+    the fused VPU ramp build inside the dot fusion is cheaper than the
+    materialized weights' HBM reads (0.642 vs 0.906+0.745 ms/sample,
+    '--experiment ramp').
+  - The inter-pass layout copy is invariant to the einsum output-order
+    spec ('joint'/'joint_bwd': all variants within noise) — structural
+    to the two-pass formulation, not a spec artifact.
+  - Part-streaming the wins stack through the placement kernel
+    ('partstream') cuts compiled residency up to 7.5× but pays +7.5-18%
+    wall clock; the idx-carrying variant doesn't fit VMEM at 256²/C=64.
+  - A 2-tap shifted multiply-add (each bilinear output row mixes ≤ 2
+    source rows) is DECLINED without prototyping: per-output-row source
+    offsets under a general affine are non-aligned dynamic sublane
+    slices, which Mosaic disallows — the workaround is a small banded
+    weight matrix per row block in VMEM, i.e. exactly the
+    ops/warp_pallas.py design that already measured 2.4× slower than
+    the fused dense dots. The dense-fused two-pass fold is the measured
+    local optimum on this hardware generation.
+
 Transforms are (T, 8) row-major first-8 of a 3×3 matrix acting on (x, y, 1):
 ``[m00, m01, tx, m10, m11, ty, 0, 0]`` — the layout produced by
 ``core.transforms_host.affine_transforms``. Translations are estimated at the

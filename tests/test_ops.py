@@ -66,6 +66,41 @@ def test_nn_loss_matches_torch():
         np.testing.assert_allclose(ours, golden, rtol=1e-5)
 
 
+def test_nn_loss_custom_vjp_matches_autodiff():
+    """nn_loss carries an argmin-routing custom VJP (stores one uint8
+    shift index instead of autodiff's ~25 per-shift residual maps). Its
+    gradients — for BOTH inputs — must match plain autodiff through the
+    minimum chain (f32, random data: argmin ties are measure-zero)."""
+    import jax
+
+    from pose_transfer_tpu.ops import nn_loss as mod
+
+    def plain(predicted, ground_truth, nh, nw):
+        gt_pad = mod._pad_gt(ground_truth, nh, nw)
+        h, w = predicted.shape[1:3]
+        min_norms = None
+        for i, j in mod._shifts(nh, nw):
+            ref = gt_pad[:, i:i + h, j:j + w, :]
+            norms = jnp.sum(jnp.abs(ref - predicted), axis=-1)
+            min_norms = norms if min_norms is None \
+                else jnp.minimum(min_norms, norms)
+        return jnp.mean(min_norms)
+
+    rng = np.random.RandomState(7)
+    for nh in (1, 3, 5):
+        pred = jnp.asarray(rng.randn(2, 12, 12, 6).astype(np.float32))
+        gt = jnp.asarray(rng.randn(2, 12, 12, 6).astype(np.float32))
+        val, (dp, dg) = jax.value_and_grad(mod.nn_loss, argnums=(0, 1))(
+            pred, gt, nh, nh)
+        val_r, (dp_r, dg_r) = jax.value_and_grad(plain, argnums=(0, 1))(
+            pred, gt, nh, nh)
+        np.testing.assert_allclose(float(val), float(val_r), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(dp), np.asarray(dp_r),
+                                   atol=1e-7)
+        np.testing.assert_allclose(np.asarray(dg), np.asarray(dg_r),
+                                   atol=1e-7)
+
+
 def test_nn_loss_area1_is_l1():
     rng = np.random.RandomState(2)
     pred = rng.randn(2, 8, 8, 3).astype(np.float32)
