@@ -107,6 +107,24 @@ def _step_flops(step, *args) -> float | None:
         return None
 
 
+def _step_mem(step, *args) -> dict | None:
+    """XLA's compile-time memory analysis (BENCH_MEM=1): the A/B lever for
+    memory-motivated rewrites (e.g. the nn_loss custom VJP's autodiff
+    residuals). ``temp_mb`` is the transient working set the executable
+    reserves beyond arguments/outputs."""
+    if os.environ.get("BENCH_MEM", "0") != "1":
+        return None
+    try:
+        ma = step.lower(*args).compile().memory_analysis()
+        if isinstance(ma, (list, tuple)):
+            ma = ma[0]
+        return {"temp_mb": round(ma.temp_size_in_bytes / 2**20, 1),
+                "argument_mb": round(ma.argument_size_in_bytes / 2**20, 1),
+                "output_mb": round(ma.output_size_in_bytes / 2**20, 1)}
+    except Exception:
+        return None
+
+
 def _bench_train(config, iters: int) -> tuple[float, float | None, float]:
     import jax
 
@@ -127,6 +145,7 @@ def _bench_train(config, iters: int) -> tuple[float, float | None, float]:
     # before the first call: the state is donated, so its buffers are gone
     # once the step runs
     flops = _step_flops(step, state, fake, real, gen_batch)
+    _bench_train.last_mem = _step_mem(step, state, fake, real, gen_batch)
 
     # warmup / compile (block on the full state: on some platforms blocking
     # on one output does not force the whole donated-state chain)
@@ -159,6 +178,8 @@ def _bench_infer(config, iters: int) -> tuple[float, float | None, float]:
         rng, config.batch_size, config.image_size, config.pose_dim,
         warp_skip=config.warp_skip))
     flops = _step_flops(jax.jit(eval_step), state.gen_params, raw)
+    _bench_infer.last_mem = _step_mem(jax.jit(eval_step), state.gen_params,
+                                      raw)
     out, _ = eval_step(state.gen_params, raw)
     jax.block_until_ready(out)
     float(out.astype("float32").sum())  # force through the tunnel
@@ -171,7 +192,7 @@ def _bench_infer(config, iters: int) -> tuple[float, float | None, float]:
     return iters * config.batch_size / dt, flops, dt / iters
 
 
-def _warp_flop_model(config, mode: str) -> tuple[float, float] | None:
+def _warp_flop_model(config, mode: str) -> tuple[float, float] | str:
     """(dense_dot_flops, useful_flops) of the warp fold per step.
 
     XLA's executed-FLOP count prices the fold's two-pass einsums as dense
@@ -184,13 +205,30 @@ def _warp_flop_model(config, mode: str) -> tuple[float, float] | None:
     kernel window sizes, static-empty compaction) to price both views,
     so ``mfu_useful`` reports utilization against work an oracle resampler
     would do rather than work the dense formulation happens to run.
-    Returns None for configs the model doesn't cover (non-deformable).
+
+    The model follows the CONFIGURED fold path: full fold
+    (``warp_windowed=False``, e.g. a BENCH_WINDOWED=0 A/B) is priced at
+    all-parts full extent; ``warp_place='auto'`` is priced as the TPU
+    resolution (kernel placement, X_ALIGN-widened windows — bench.py is a
+    TPU tool). Returns a reason string instead of a tuple for paths the
+    model doesn't cover (non-deformable configs; XLA placement, whose
+    per-sample window extents are data-dependent) — emitted as
+    ``mfu_useful_skipped`` so artifact gaps are diagnosable.
     """
     if config.gen_type == "unet" or config.warp_skip != "mask":
-        return None
+        return "non-deformable-config"
     from pose_transfer_tpu.core.transforms_host import static_empty_parts
     from pose_transfer_tpu.models.networks import encoder_filters_for
     from pose_transfer_tpu.ops import warp as W
+
+    kernel_place = (config.warp_place in ("auto", "kernel")
+                    and config.warp_agg == "max")
+    windowed = config.warp_windowed
+    if windowed is None:
+        per_dev = config.batch_size // max(config.device_count, 1)
+        windowed = kernel_place or per_dev >= 16
+    if windowed and not kernel_place:
+        return "xla-placement-windows-not-modeled"
 
     enc = encoder_filters_for(config.image_size)
     act = config.num_warp_transforms - len(
@@ -200,7 +238,7 @@ def _warp_flop_model(config, mode: str) -> tuple[float, float] | None:
     for i in range(4):  # DeformableGenerator.num_warp_stages
         h, w, c = h0 >> i, w0 >> i, enc[i]
         two_pass_full = 2.0 * h * w * c * (h + w)
-        if W._windowable(h, w):
+        if windowed and W._windowable(h, w):
             sizes = W._kernel_window_sizes(h, w)
             sy, sx = sizes if sizes else (h // 2, w // 2)
             p = act - 1
@@ -256,13 +294,19 @@ def _mfu_fields(flops: float | None, sec_per_step: float,
            "achieved_tflops": round(achieved, 1),
            "mfu_vs_peak": round(achieved / peak, 3)}
     model = _warp_flop_model(config, mode) if config is not None else None
-    if model is not None:
+    if isinstance(model, str):
+        out["mfu_useful_skipped"] = model
+    elif model is not None:
         dense, useful_warp = model
         useful = flops - dense + useful_warp
         if 0 < useful <= flops:
             out["useful_tflops_per_step"] = round(useful / 1e12, 3)
             out["mfu_useful"] = round(useful / sec_per_step / 1e12 / peak,
                                       3)
+        else:
+            # the model subtracted more dense FLOPs than XLA executed —
+            # coverage bug; surface it rather than silently dropping
+            out["mfu_useful_skipped"] = "model-exceeds-executed-flops"
     return out
 
 
@@ -307,6 +351,9 @@ def main() -> None:
         "batch": config.batch_size,
     }
     record.update(_mfu_fields(flops, sec_per_step, config, mode))
+    mem = getattr(run, "last_mem", None)
+    if mem:
+        record["memory"] = mem
     if secondary:
         h_cfg = _make_config("h36m", "train")
         h_ips, h_flops, h_sec = _bench_train(h_cfg, iters)

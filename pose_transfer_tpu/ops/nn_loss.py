@@ -28,6 +28,7 @@ the flagship config in CLAUDE.md (round 4).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -49,14 +50,8 @@ def _pad_gt(ground_truth: jax.Array, nh: int, nw: int) -> jax.Array:
                    constant_values=-10000.0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def nn_loss(predicted: jax.Array, ground_truth: jax.Array,
-            nh: int = 3, nw: int = 3) -> jax.Array:
-    """Min-over-neighborhood L1 between NHWC feature maps.
-
-    ``nh == nw == 1`` degenerates to channel-summed L1 mean, matching the
-    reference's default path.
-    """
+def _nn_loss_primal(predicted: jax.Array, ground_truth: jax.Array,
+                    nh: int, nw: int) -> jax.Array:
     gt_pad = _pad_gt(ground_truth, nh, nw)
     n, h, w, _ = predicted.shape
     min_norms = None
@@ -66,6 +61,27 @@ def nn_loss(predicted: jax.Array, ground_truth: jax.Array,
         min_norms = norms if min_norms is None \
             else jnp.minimum(min_norms, norms)
     return jnp.mean(min_norms)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _nn_loss_vjp(predicted: jax.Array, ground_truth: jax.Array,
+                 nh: int = 3, nw: int = 3) -> jax.Array:
+    return _nn_loss_primal(predicted, ground_truth, nh, nw)
+
+
+def nn_loss(predicted: jax.Array, ground_truth: jax.Array,
+            nh: int = 3, nw: int = 3) -> jax.Array:
+    """Min-over-neighborhood L1 between NHWC feature maps.
+
+    ``nh == nw == 1`` degenerates to channel-summed L1 mean, matching the
+    reference's default path. ``PT_NN_LOSS_VJP=0`` (read at trace time)
+    bypasses the custom VJP and differentiates the chained-``minimum``
+    primal with plain autodiff — the A/B lever for measuring what the
+    custom VJP buys (step time + residual memory).
+    """
+    if os.environ.get("PT_NN_LOSS_VJP", "1") == "0":
+        return _nn_loss_primal(predicted, ground_truth, nh, nw)
+    return _nn_loss_vjp(predicted, ground_truth, nh, nw)
 
 
 def _nn_loss_fwd(predicted, ground_truth, nh, nw):
@@ -111,4 +127,4 @@ def _nn_loss_bwd(nh, nw, res, g):
             (scale * d_gt).astype(ground_truth.dtype))
 
 
-nn_loss.defvjp(_nn_loss_fwd, _nn_loss_bwd)
+_nn_loss_vjp.defvjp(_nn_loss_fwd, _nn_loss_bwd)

@@ -1,5 +1,6 @@
 """Auxiliary pieces: evaluate CLI, misc helpers, warp gradcheck, VGG."""
 
+import dataclasses
 import json
 import os
 
@@ -103,6 +104,14 @@ def test_evaluate_cli(tmp_path, monkeypatch):
     assert -1.0 <= result["value"] <= 1.0
     assert result["epoch"] == 1
     assert result["num_batches"] >= 1
+    # feature-distance metric (VERDICT r4 #5): default block1_conv2 over
+    # the same random-init VGG stack training scores against; identical
+    # images ⇒ 0, so a trained-vs-target distance must be finite positive
+    assert result["feat_layer"] == "block1_conv2"
+    assert result["feat_l2"] > 0 and np.isfinite(result["feat_l2"])
+    assert result["feat_l1"] > 0 and np.isfinite(result["feat_l1"])
+    none_result = eval_cli.evaluate(opt, max_batches=1, feat_layer="none")
+    assert "feat_l2" not in none_result
 
 
 def test_bench_vs_baseline_metric_matched():
@@ -150,7 +159,29 @@ def test_bench_warp_flop_model():
     assert useful < dense / 50  # the dots are >98% structural zeros
     d_inf, u_inf = bench._warp_flop_model(cfg, "infer")
     assert dense == 3 * d_inf and useful == 3 * u_inf
-    # non-deformable configs are out of the model's scope
+    # non-deformable configs are out of the model's scope — reason string,
+    # surfaced as mfu_useful_skipped in the artifact (ADVICE r4)
     unet = GANConfig(image_size=(256, 256), pose_dim=18, batch_size=1,
                      warp_skip="none", gen_type="unet")
-    assert bench._warp_flop_model(unet, "train") is None
+    assert bench._warp_flop_model(unet, "train") == "non-deformable-config"
+    # the model prices the path the config actually selects (ADVICE r4):
+    # BENCH_WINDOWED=0 → full fold, all parts at full extent
+    full = dataclasses.replace(cfg, warp_windowed=False)
+    d_full, u_full = bench._warp_flop_model(full, "train")
+    assert d_full > dense and u_full > useful  # no windowing discount
+    s0_full = 10 * 2 * 256 * 256 * 64 * 512
+    assert d_full > 3 * s0_full
+    # BENCH_PLACE=xla at a windowed batch → data-dependent window extents,
+    # not modeled (at batch 1, xla placement auto-resolves to the full
+    # fold, which IS modeled — so no skip there)
+    assert isinstance(
+        bench._warp_flop_model(
+            dataclasses.replace(cfg, warp_place="xla"), "train"), tuple)
+    xla = dataclasses.replace(cfg, warp_place="xla", batch_size=32)
+    assert bench._warp_flop_model(xla, "train") \
+        == "xla-placement-windows-not-modeled"
+    # the skip reason lands in the artifact fields
+    fields = bench._mfu_fields(1e12, 0.1, xla, "train")
+    assert fields["mfu_useful_skipped"] \
+        == "xla-placement-windows-not-modeled"
+    assert "mfu_useful" not in fields

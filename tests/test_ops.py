@@ -101,6 +101,27 @@ def test_nn_loss_custom_vjp_matches_autodiff():
                                    atol=1e-7)
 
 
+def test_nn_loss_vjp_escape_hatch(monkeypatch):
+    """PT_NN_LOSS_VJP=0 (the A/B lever for measuring the custom VJP's
+    step/memory impact) routes around the custom VJP but must compute the
+    same value and gradients."""
+    import jax
+
+    from pose_transfer_tpu.ops import nn_loss as mod
+
+    rng = np.random.RandomState(11)
+    pred = jnp.asarray(rng.randn(2, 10, 10, 4).astype(np.float32))
+    gt = jnp.asarray(rng.randn(2, 10, 10, 4).astype(np.float32))
+    val, (dp, dg) = jax.value_and_grad(mod.nn_loss, argnums=(0, 1))(
+        pred, gt, 3, 3)
+    monkeypatch.setenv("PT_NN_LOSS_VJP", "0")
+    val_p, (dp_p, dg_p) = jax.value_and_grad(mod.nn_loss, argnums=(0, 1))(
+        pred, gt, 3, 3)
+    np.testing.assert_allclose(float(val), float(val_p), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(dp), np.asarray(dp_p), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(dg), np.asarray(dg_p), atol=1e-7)
+
+
 def test_nn_loss_area1_is_l1():
     rng = np.random.RandomState(2)
     pred = rng.randn(2, 8, 8, 3).astype(np.float32)
