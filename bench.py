@@ -32,11 +32,12 @@ import time
 import numpy as np
 
 # measured throughput-optimal batch per dataset/mode on v5e with the
-# kernel-placed windowed fold (round-4 sweep in CLAUDE.md; infer re-swept
-# with the no-grad argmax skip: b16 428.5 vs b8 405.0 img/s)
+# kernel-placed windowed fold (round-5 sweep in CLAUDE.md; the full infer
+# curve 405.0 / 428.5 / 427.7 / 428.3 / 434.1 / 416.7 at b8-b64 peaks
+# at b48)
 _DATASETS = {
     "fashion": dict(image_size=(256, 256), pose_dim=18, train_batch=32,
-                    infer_batch=16),
+                    infer_batch=48),
     "h36m": dict(image_size=(224, 224), pose_dim=16, train_batch=48,
                  infer_batch=16),
 }

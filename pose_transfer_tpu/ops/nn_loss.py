@@ -21,8 +21,17 @@ forward stores ONE uint8 shift index (1 MB at that point) next to the
 inputs, and the backward regenerates sign(pred − ref_k) per shift and
 masks it by ``idx == k``: 25 elementwise passes, no stored residuals.
 Subgradient at ties: the first shift in scan order wins (strict ``<``
-update), matching the chained-``minimum`` primal; measured step impact at
-the flagship config in CLAUDE.md (round 4).
+update), matching the chained-``minimum`` primal.
+
+Measured on the flagship recipe (fashion-256 train, bf16, area 5,
+``PT_NN_LOSS_VJP=0`` A/B via bench.py, round 5 — full table in
+CLAUDE.md): the custom VJP is **+8.4% step throughput at b16** (196.3 vs
+181.0 img/s/chip) and **+4.7% at b32** (193.5 vs 184.8). The memory story
+is smaller than the naive residual sum suggests: XLA's scheduler
+interleaves the per-shift backward with the forward chain, so the
+compiled temp reservation only drops 229 MB at b16 / 531 MB at b32
+(5 948 vs 6 177 / 10 101 vs 10 631 MB) — both fit either way; the win is
+mostly time (fewer full-res residual writes), not fit.
 """
 
 from __future__ import annotations

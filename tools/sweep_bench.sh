@@ -24,6 +24,7 @@ run BENCH_DATASET=fashion BENCH_MODE=infer BENCH_BATCH=16
 run BENCH_DATASET=fashion BENCH_MODE=infer BENCH_BATCH=24
 run BENCH_DATASET=fashion BENCH_MODE=infer BENCH_BATCH=32
 run BENCH_DATASET=fashion BENCH_MODE=infer BENCH_BATCH=48
+run BENCH_DATASET=fashion BENCH_MODE=infer BENCH_BATCH=64
 # the reference's ACTUAL headline recipe: VGG block1_conv2 content loss +
 # nn_loss area 5 + l1_w 1.0 (src_deformable/commands:9)
 run BENCH_DATASET=fashion BENCH_BATCH=16 BENCH_CONTENT=block1_conv2
