@@ -27,6 +27,7 @@ the Fashion-256 config):
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import jax
@@ -95,6 +96,67 @@ class VolumeInstanceNorm(nn.Module):
         return volume_instance_norm(x, weight, bias, self.eps)
 
 
+def _upconv_impl() -> str:
+    """Decoder up-conv implementation: 'dilated' (flax ConvTranspose →
+    ``conv_general_dilated`` with lhs_dilation 2, the default everywhere)
+    or 'phase' (4 dense k2s1 phase convolutions + channel-to-space
+    interleave). Env escape hatch ``PT_UPCONV``; 'auto' = dilated.
+
+    'phase' is a MEASURED DEAD END, kept as the design record (same
+    discipline as ops/warp_pallas.py): the hypothesis was that XLA-TPU
+    executes the input-dilated conv over k4 windows where 3 of 4 taps per
+    dim land on inserted zeros (4× wasted MACs). Measured fashion-256 b32
+    bf16 (round 5): **dilated 330.6 img/s/chip, phase 304.3** — the
+    dilated path was ALREADY at ~dense-FLOP speed (decoder Block_4's
+    dense floor is ~5.6 ms and its traced fwd instance runs ~6.0 ms:
+    XLA-TPU specializes lhs_dilation; it does not grind zeros), while the
+    phase rewrite re-reads the full input once per phase conv (4× input
+    HBM traffic) and pays a full-output interleave copy per stage.
+    Hardware numerics parity (f32 1.7e-7, bf16 2.8e-3 rel) verified
+    2026-08-20. Both paths share the parameter tree
+    (ConvTranspose_0/kernel, (4,4,Cin,Cout)) so checkpoints and init
+    streams are interchangeable; the golden-pinned tests run the dilated
+    path.
+    """
+    impl = os.environ.get("PT_UPCONV", "auto")
+    if impl == "auto":
+        return "dilated"
+    return impl
+
+
+class PhaseConvTranspose(nn.Module):
+    """k4s2 transposed conv with padding (2,2) (the reference's VALID +
+    Cropping2D(1), networks.py:134-139,154-157) as dense phase convs.
+
+    Derivation: with lhs_dilation 2 and pad (4-1-2)=1 per side, output
+    position p = 2q+a (phase a per dim) only receives kernel taps
+    k ≡ a (mod 2): y[2q] = w[0]·x[q-1] + w[2]·x[q] and
+    y[2q+1] = w[1]·x[q] + w[3]·x[q+1]. So each of the 4 (a, b) output
+    phases is a k2s1 conv with kernel w[a::2, b::2] and padding
+    ((1-a, a), (1-b, b)), interleaved back as
+    y[:, 2q+a, 2r+b] = phase_ab[:, q, r]. Same math, zero wasted MACs.
+    """
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", _conv_init,
+                            (4, 4, x.shape[-1], self.features), jnp.float32)
+        x, kernel = nn.dtypes.promote_dtype(x, kernel, dtype=self.dtype)
+        phases = []
+        for a in (0, 1):
+            for b in (0, 1):
+                phases.append(jax.lax.conv_general_dilated(
+                    x, kernel[a::2, b::2], (1, 1),
+                    ((1 - a, a), (1 - b, b)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC")))
+        n, h, w, c = phases[0].shape
+        t = jnp.stack(phases, axis=3).reshape(n, h, w, 2, 2, c)
+        return jnp.transpose(t, (0, 1, 3, 2, 4, 5)).reshape(
+            n, 2 * h, 2 * w, c)
+
+
 class Block(nn.Module):
     """The reference's down/up conv block (networks.py:142-172)."""
     features: int
@@ -111,6 +173,11 @@ class Block(nn.Module):
             x = nn.Conv(self.features, (4, 4), strides=(2, 2),
                         padding=((1, 1), (1, 1)), use_bias=False,
                         kernel_init=_conv_init, dtype=self.dtype)(x)
+        elif _upconv_impl() == "phase":
+            # same param path/shape as the ConvTranspose branch →
+            # identical init stream and checkpoint layout
+            x = PhaseConvTranspose(self.features, dtype=self.dtype,
+                                   name="ConvTranspose_0")(x)
         else:
             # reference: ConvTranspose k4s2 VALID then Cropping2D(1)
             # (networks.py:134-139, 154-157). Expressed as explicit padding

@@ -370,8 +370,18 @@ def make_train_step(config: GANConfig, gen, disc, tx=None):
         baseline generator, (S, N, H, W, 3) per-stage images for stacked."""
         carry = (state.disc_params, state.disc_opt_state, state.gen_params,
                  state.rng)
-        carry, disc_metrics = jax.lax.scan(disc_phase, carry,
-                                           (disc_fake, disc_real))
+        if config.training_ratio == 1:
+            # a length-1 scan only adds a while barrier between the disc
+            # and gen phases; unrolling it lets XLA schedule/fuse across
+            # the whole step (same ops, same numerics — scan of length 1
+            # IS one call)
+            carry, m = disc_phase(
+                carry, jax.tree.map(lambda x: x[0],
+                                    (disc_fake, disc_real)))
+            disc_metrics = m[None]
+        else:
+            carry, disc_metrics = jax.lax.scan(disc_phase, carry,
+                                               (disc_fake, disc_real))
         disc_params, disc_opt_state, _, rng = carry
         state = state.replace(disc_params=disc_params,
                               disc_opt_state=disc_opt_state, rng=rng)

@@ -192,3 +192,67 @@ def test_up_block_padding_equals_valid_plus_crop():
                             padding=((2, 2), (2, 2)),
                             use_bias=False).apply(params, x)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(ours))
+
+
+def test_phase_upconv_matches_conv_transpose():
+    """PhaseConvTranspose (4 dense k2s1 phase convs + interleave — the TPU
+    default, networks.py::_upconv_impl) must match the dilated
+    ConvTranspose path: same function to fp tolerance, same gradients,
+    same parameter tree (shared ConvTranspose_0/kernel param), so the two
+    paths are checkpoint- and init-interchangeable."""
+    import jax
+    import flax.linen as nn
+
+    from pose_transfer_tpu.models.networks import PhaseConvTranspose
+
+    rs = np.random.RandomState(3)
+    x = jnp.asarray(rs.randn(2, 8, 6, 5), jnp.float32)
+    k = jnp.asarray(rs.randn(4, 4, 5, 7), jnp.float32)
+    params = {"params": {"kernel": k}}
+    dilated = nn.ConvTranspose(7, (4, 4), strides=(2, 2),
+                               padding=((2, 2), (2, 2)),
+                               use_bias=False)
+    phase = PhaseConvTranspose(7)
+    out_d = dilated.apply(params, x)
+    out_p = phase.apply(params, x)
+    assert out_p.shape == out_d.shape == (2, 16, 12, 7)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_d),
+                               rtol=1e-5, atol=1e-5)
+
+    # gradients through both impls agree (wrt input and kernel)
+    cot = jnp.asarray(rs.randn(*out_d.shape), jnp.float32)
+    gd = jax.grad(lambda p, x: jnp.vdot(dilated.apply(p, x), cot),
+                  argnums=(0, 1))(params, x)
+    gp = jax.grad(lambda p, x: jnp.vdot(phase.apply(p, x), cot),
+                  argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(np.asarray(gp[0]["params"]["kernel"]),
+                               np.asarray(gd[0]["params"]["kernel"]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gd[1]),
+                               rtol=1e-4, atol=1e-4)
+
+    # init parity: same param path, shape, and init stream
+    key = jax.random.PRNGKey(0)
+    vp = phase.init(key, x)
+    vd = nn.ConvTranspose(
+        7, (4, 4), strides=(2, 2), padding=((2, 2), (2, 2)),
+        use_bias=False,
+        kernel_init=nn.initializers.glorot_uniform()).init(key, x)
+    assert jax.tree_util.tree_structure(vp) == \
+        jax.tree_util.tree_structure(vd)
+    np.testing.assert_array_equal(np.asarray(vp["params"]["kernel"]),
+                                  np.asarray(vd["params"]["kernel"]))
+
+
+def test_upconv_env_escape_hatch(monkeypatch):
+    """PT_UPCONV forces the decoder up-conv implementation; 'auto' is
+    dilated everywhere (phase is a measured dead end — 304.3 vs 330.6
+    img/s at fashion b32, see networks.py::_upconv_impl)."""
+    from pose_transfer_tpu.models import networks as nets
+
+    monkeypatch.setenv("PT_UPCONV", "phase")
+    assert nets._upconv_impl() == "phase"
+    monkeypatch.setenv("PT_UPCONV", "dilated")
+    assert nets._upconv_impl() == "dilated"
+    monkeypatch.setenv("PT_UPCONV", "auto")
+    assert nets._upconv_impl() == "dilated"
