@@ -73,19 +73,28 @@ def evaluate(opt, max_batches: int | None = None,
 
     def _feat_metrics(a, b):
         from ..models.vgg import extract_features
+        from ..ops.nn_loss import nn_loss
         fa = extract_features(vgg_params, a, feat_index,
                               config.preprocess_mode)
         fb = extract_features(vgg_params, b, feat_index,
                               config.preprocess_mode)
-        d = fa.astype(jnp.float32) - fb.astype(jnp.float32)
-        return jnp.mean(jnp.square(d)), jnp.mean(jnp.abs(d))
+        fa32, fb32 = fa.astype(jnp.float32), fb.astype(jnp.float32)
+        d = fa32 - fb32
+        # feat_nn = the flagship recipe's literal training objective
+        # (shifted-min nn_loss over the content features, area 5 —
+        # src_deformable/commands:9, pose_gan.py:100-105): pointwise
+        # feat_l2/l1 penalize the small spatial misalignments nn_loss is
+        # built to forgive, so only feat_nn can show whether the full
+        # config wins on the thing it optimizes
+        return (jnp.mean(jnp.square(d)), jnp.mean(jnp.abs(d)),
+                nn_loss(fa32, fb32, 5, 5))
 
     metric = jax.jit(_metrics)
     feat_metric = jax.jit(_feat_metrics) if vgg_params is not None else None
     n_batches = len(dataset) // config.batch_size
     if max_batches:
         n_batches = min(n_batches, max_batches)
-    ssims, l1s, psnrs, f2s, f1s = [], [], [], [], []
+    ssims, l1s, psnrs, f2s, f1s, fnns = [], [], [], [], [], []
     for b in range(n_batches):
         batch = collate([dataset[b * config.batch_size + i]
                          for i in range(config.batch_size)])
@@ -99,9 +108,10 @@ def evaluate(opt, max_batches: int | None = None,
         l1s.append(float(l1))
         psnrs.append(float(p))
         if feat_metric is not None:
-            f2, f1 = feat_metric(out32, tgt32)
+            f2, f1, fnn = feat_metric(out32, tgt32)
             f2s.append(float(f2))
             f1s.append(float(f1))
+            fnns.append(float(fnn))
     result = {
         "metric": "test_ssim",
         "value": round(float(np.mean(ssims)), 5),
@@ -113,6 +123,7 @@ def evaluate(opt, max_batches: int | None = None,
     if f2s:
         result["feat_l2"] = round(float(np.mean(f2s)), 6)
         result["feat_l1"] = round(float(np.mean(f1s)), 6)
+        result["feat_nn"] = round(float(np.mean(fnns)), 6)
         result["feat_layer"] = feat_layer
     return result
 

@@ -110,6 +110,9 @@ def test_evaluate_cli(tmp_path, monkeypatch):
     assert result["feat_layer"] == "block1_conv2"
     assert result["feat_l2"] > 0 and np.isfinite(result["feat_l2"])
     assert result["feat_l1"] > 0 and np.isfinite(result["feat_l1"])
+    # feat_nn (the flagship's shifted-min objective over the same
+    # features) can only be <= the pointwise channel-summed distance
+    assert 0 < result["feat_nn"] and np.isfinite(result["feat_nn"])
     none_result = eval_cli.evaluate(opt, max_batches=1, feat_layer="none")
     assert "feat_l2" not in none_result
 
