@@ -31,7 +31,9 @@ import numpy as np
 _LINE = re.compile(
     r"Epoch : (\d+) \| Progress : ([\d.]+) \| Total Loss : ([-\d.]+) \| "
     r"Gen Total Loss : ([-\d.]+), Gen Ad Loss : ([-\d.]+), "
-    r"Gen LL Loss : ([-\d.]+)\s*\| Disc Total Loss : ([-\d.]+)")
+    r"Gen LL Loss : ([-\d.]+)\s*\| Disc (?:Total )?Loss : ([-\d.]+)")
+# 'Disc Loss' without 'Total': the h36m-era logs (e.g.
+# src_deformable/logs/deformable_h36m) predate the per-side disc printout
 
 
 def parse_reference_log(path: str) -> dict[str, np.ndarray]:
