@@ -32,14 +32,15 @@ import time
 import numpy as np
 
 # measured throughput-optimal batch per dataset/mode on v5e with the
-# kernel-placed windowed fold (round-5 sweep in CLAUDE.md; the full infer
-# curve 405.0 / 428.5 / 427.7 / 428.3 / 434.1 / 416.7 at b8-b64 peaks
-# at b48)
+# kernel-placed windowed fold (round-5 sweeps in CLAUDE.md; the fashion
+# infer curve 405.0 / 428.5 / 427.7 / 428.3 / 434.1 / 416.7 at b8-b64
+# peaks at b48; h36m infer 655.3 / 660.8 / 664.5 at b16/32/48 also
+# peaks at b48)
 _DATASETS = {
     "fashion": dict(image_size=(256, 256), pose_dim=18, train_batch=32,
                     infer_batch=48),
     "h36m": dict(image_size=(224, 224), pose_dim=16, train_batch=48,
-                 infer_batch=16),
+                 infer_batch=48),
 }
 
 

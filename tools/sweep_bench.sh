@@ -29,6 +29,8 @@ run BENCH_DATASET=fashion BENCH_MODE=infer BENCH_BATCH=64
 # nn_loss area 5 + l1_w 1.0 (src_deformable/commands:9)
 run BENCH_DATASET=fashion BENCH_BATCH=16 BENCH_CONTENT=block1_conv2
 run BENCH_DATASET=fashion BENCH_BATCH=32 BENCH_CONTENT=block1_conv2
+run BENCH_DATASET=h36m BENCH_MODE=infer BENCH_BATCH=16
+run BENCH_DATASET=h36m BENCH_MODE=infer BENCH_BATCH=48
 run BENCH_DATASET=h36m BENCH_BATCH=16
 run BENCH_DATASET=h36m BENCH_BATCH=32
 run BENCH_DATASET=h36m BENCH_BATCH=48
